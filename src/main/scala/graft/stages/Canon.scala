@@ -1,0 +1,160 @@
+package graft.stages
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 4 — entity canonicalization: alias edges → connected components.
+  *
+  * The reference merges entities through two mechanisms:
+  *  1. alias predicates 别名/俗称/别称/又名 (ReligionGraph.kt:10, 24–29);
+  *  2. the driver-side id cache that reuses an existing node whenever a
+  *     CACHED name `contains` the new name and the cached labels ⊇ the query
+  *     labels (Neo4jIdCache.kt:8–15) — order-dependent first-match.
+  *
+  * First-match insertion order is nondeterministic under parallelism, so the
+  * rebuild defines the deterministic closure (SURVEY.md §7.4): build an
+  * undirected alias graph from (1) alias-pred pairs and (2) containment pairs
+  * {a, b : a ≠ b, a contains b, |b| ≥ 2, labels(b) ⊆ labels(a)}, then take
+  * canonical(x) = lexicographically-smallest name in x's component. The P/R
+  * gate (≥0.95) absorbs the divergence from the reference's order-dependent
+  * behavior; the oracle implements this same deterministic rule.
+  */
+object Canon {
+
+  /** Unified target-label rule — the union of the three crawl pipelines'
+    * rules (GovernmentGraph.kt:7–10, CompanyGraph.kt:9–13,
+    * ReligionGraph.kt:21–32): label(s) assigned to a triple's object. */
+  def targetLabelExpr(pred: Column, subjIsReligion: Column): Column =
+    when(pred.isin("机场", "火车站"), lit("交通设施"))
+      .when(pred.isin("创办人", "创始人"), lit("经济人物"))
+      .when(pred.isin("开发商", "发行商", "主办单位", "开发公司"), lit("公司"))
+      .when(pred.isin("教派", "学派", "所属宗教", "隶属"), lit("宗教"))
+      .when(pred === "主要人物", lit("宗教人物"))
+      .when(pred.isin("别名", "俗称", "别称", "又名"),
+        when(subjIsReligion, lit("宗教")).otherwise(lit("人物")))
+      .otherwise(pred)
+
+  /** Same rule for the single-threaded oracle. */
+  def targetLabel(pred: String, subjIsReligion: Boolean): String = pred match {
+    case "机场" | "火车站" => "交通设施"
+    case "创办人" | "创始人" => "经济人物"
+    case "开发商" | "发行商" | "主办单位" | "开发公司" => "公司"
+    case "教派" | "学派" | "所属宗教" | "隶属" => "宗教"
+    case "主要人物" => "宗教人物"
+    case "别名" | "俗称" | "别称" | "又名" => if (subjIsReligion) "宗教" else "人物"
+    case p => p
+  }
+
+  /** name → sorted label set, from CATEGORY_ZH triples (subjects,
+    * AbstractSubjectGraph.kt:19) + target-label rule (objects). */
+  def nodeLabels(kbTriples: DataFrame, categoryPred: String): DataFrame = {
+    val cat = kbTriples.filter(col("pred") === categoryPred)
+      .select(col("subj").as("name"), col("obj").as("label"))
+    val religious = cat.filter(col("label") === "宗教")
+      .select(col("name").as("subj"), lit(true).as("subj_rel")).distinct()
+    val objLabels = kbTriples
+      .join(broadcast(religious), Seq("subj"), "left")
+      .select(col("obj").as("name"),
+        targetLabelExpr(col("pred"), coalesce(col("subj_rel"), lit(false))).as("label"))
+    cat.unionByName(objLabels)
+      .groupBy("name").agg(sort_array(collect_set(col("label"))).as("labels"))
+  }
+
+  /** Containment-alias candidate pairs via bigram blocking: if container `a`
+    * contains `b`, then b's first bigram is one of a's bigrams — so the
+    * quadratic theta-join becomes an equi-join on a bigram key (SURVEY.md
+    * §4.2.3). Fan-out is O(len(name)) per name, independent of corpus size. */
+  def containmentEdges(named: DataFrame): DataFrame = {
+    val bigrams = transform(
+      sequence(lit(1), length(col("name")) - 1),
+      i => col("name").substr(i, lit(2)))
+    val containers = named
+      .filter(length(col("name")) >= 2)
+      .select(col("name").as("a"), col("labels").as("a_labels"),
+        explode(array_distinct(bigrams)).as("bigram"))
+    val contained = named
+      .filter(length(col("name")) >= 2)
+      .select(col("name").as("b"), col("labels").as("b_labels"),
+        substring(col("name"), 1, 2).as("bigram"))
+    containers.join(contained, Seq("bigram"))
+      .filter(col("a") =!= col("b") &&
+        col("a").contains(col("b")) &&
+        forall(col("b_labels"), l => array_contains(col("a_labels"), l)))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Iterative min-label propagation connected components over undirected
+    * edges — the north-star CC kernel (SURVEY.md §2.6 G5). Hot components
+    * (celebrity roots / hub aliases) are handled with an explicit two-phase
+    * salted min-aggregate; lineage is truncated with localCheckpoint every
+    * `checkpointEvery` rounds.
+    *
+    * @return (name, comp) where comp = lexicographically-min name reachable.
+    */
+  def connectedComponents(edges: DataFrame, salt: Int = 16,
+                          checkpointEvery: Int = 3): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val sym = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+
+    var comp = sym.select(col("src").as("name")).distinct()
+      .withColumn("comp", col("name"))
+      .localCheckpoint()
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0) {
+      // min over neighbors' components; two-phase (salted) aggregate so a
+      // hot node with 10^8 neighbors never lands on one reducer.
+      val nbrMin = sym
+        .join(comp.withColumnRenamed("name", "dst"), Seq("dst"))
+        .groupBy(col("src"), pmod(xxhash64(col("dst")), lit(salt)).as("_salt"))
+        .agg(min(col("comp")).as("c1"))
+        .groupBy(col("src")).agg(min(col("c1")).as("nbr_comp"))
+
+      val next = comp
+        .join(nbrMin.withColumnRenamed("src", "name"), Seq("name"), "left")
+        .select(col("name"), col("comp").as("old_comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+
+      val materialized =
+        if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint()
+        else next.cache()
+      changed = materialized.filter(col("comp") =!= col("old_comp")).count()
+      comp = materialized.select("name", "comp")
+      iter += 1
+    }
+    comp
+  }
+
+  /** Full canonical map for a KB triple set: name → canonical name (only
+    * names whose canonical differs are returned — the join side stays small). */
+  def canonicalMap(kbTriples: DataFrame, categoryPred: String,
+                   aliasPreds: Set[String]): DataFrame = {
+    val labels = nodeLabels(kbTriples, categoryPred)
+    val aliasEdges = kbTriples
+      .filter(col("pred").isin(aliasPreds.toSeq: _*))
+      .select(col("subj").as("a"), col("obj").as("b"))
+    val edges = containmentEdges(labels).unionByName(aliasEdges).distinct()
+    connectedComponents(edges)
+      .filter(col("comp") =!= col("name"))
+  }
+
+  /** Rewrite subj/obj through the canonical map (left joins — names outside
+    * the map, e.g. the prefixed weibo ids, pass through untouched). */
+  def canonicalize(triples: DataFrame, canonMap: DataFrame): DataFrame = {
+    val m = broadcast(canonMap)
+    triples
+      .join(m.withColumnRenamed("name", "subj").withColumnRenamed("comp", "subj_c"),
+        Seq("subj"), "left")
+      .join(m.withColumnRenamed("name", "obj").withColumnRenamed("comp", "obj_c"),
+        Seq("obj"), "left")
+      .select(
+        coalesce(col("subj_c"), col("subj")).as("subj"),
+        col("pred"),
+        coalesce(col("obj_c"), col("obj")).as("obj"),
+        col("doc_id"), col("span_offset"))
+  }
+}

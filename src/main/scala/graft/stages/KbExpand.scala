@@ -1,0 +1,87 @@
+package graft.stages
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 3 — entity linking + BFS triple expansion over the KB.
+  *
+  * Dataflow image of the reference crawl (cndbpedia/AbstractSubjectGraph.kt:
+  * 17–46): startWithMention resolves mention→entities (ment2ent), skips the
+  * visited set, emits every AV-pair of each new entity as a (subj, pred, obj)
+  * triple, and recurses on rule-selected relations. Here each BFS round is a
+  * fully parallel DataFrame pass:
+  *
+  *   frontier mentions ──broadcast join ment2ent──► entities
+  *     ──left_anti visited──► new entities ──join avpair──► triples
+  *     ──filter(recursive pred)──► next frontier mentions
+  *
+  * The expansion works on DISTINCT mentions — at 100 TB the per-doc mention
+  * stream is first reduced to its (much smaller) distinct set, so KB work is
+  * O(|dictionary hits|), not O(|docs|). The visited set is a DataFrame
+  * (left_anti), never driver memory; lineage is truncated with
+  * localCheckpoint each round (SURVEY.md §4.2.1).
+  */
+object KbExpand {
+
+  /** @param mentions  single-column DF `mention` (distinct seed mentions)
+    * @param ment2ent  (mention, entities: array<string>) dimension
+    * @param avpair    (entity, pred, obj) dimension
+    * @param recursivePreds relations whose obj re-enters the frontier
+    * @param maxRounds safety bound (reference recursion is visited-bounded;
+    *                  our KB alias chains converge in ≪ 20 rounds)
+    * @return kb triples (subj, pred, obj) distinct
+    */
+  def expand(
+      spark: SparkSession,
+      mentions: DataFrame,
+      ment2ent: DataFrame,
+      avpair: DataFrame,
+      recursivePreds: Set[String],
+      maxRounds: Int = 20): DataFrame = {
+
+    val recPreds = recursivePreds.toSeq
+    var frontier = mentions.select(col("mention")).distinct().localCheckpoint()
+    var visited: DataFrame = null
+    var triples: DataFrame = null
+    var round = 0
+    var done = false
+
+    while (!done && round < maxRounds) {
+      // ment2ent is a broadcast dictionary (north star) — no shuffle of the
+      // frontier beyond its own distinct.
+      val ents0 = frontier
+        .join(broadcast(ment2ent), Seq("mention"))
+        .select(explode(col("entities")).as("entity"))
+        .distinct()
+      val ents =
+        (if (visited == null) ents0
+         else ents0.join(visited, Seq("entity"), "left_anti"))
+          .localCheckpoint()
+
+      if (ents.isEmpty) done = true
+      else {
+        visited = if (visited == null) ents else visited.union(ents).localCheckpoint()
+        // avpair is a dimension table; AQE broadcasts it when small, falls
+        // back to shuffle hash join at real KB scale.
+        val newTriples = ents.join(avpair, Seq("entity"))
+          .select(col("entity").as("subj"), col("pred"), col("obj"))
+          .localCheckpoint()
+        triples = if (triples == null) newTriples else triples.union(newTriples)
+        frontier = newTriples
+          .filter(col("pred").isin(recPreds: _*))
+          .select(col("obj").as("mention"))
+          .distinct()
+          .localCheckpoint()
+        round += 1
+      }
+    }
+
+    if (triples == null)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("subj", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pred", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("obj", org.apache.spark.sql.types.StringType))))
+    else triples.distinct()
+  }
+}

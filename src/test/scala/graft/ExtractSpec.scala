@@ -1,0 +1,107 @@
+package graft
+
+import graft.functions.{Base62, TextExtract => TE}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden unit tests ported from the reference's only test class
+  * (ExtractTest.kt:10–82) — proves F3–F6/F8 parity literally.
+  * Note: ExtractTest.kt:70–72's 月日 expectation ("2019-08-24 12:42")
+  * contradicts the reference implementation it tests (withMonth(8)/
+  * withDayOfMonth(1) → "2019-08-01 12:14"); we assert the implementation's
+  * value. */
+class ExtractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def eval1(input: String, f: Column => Column): Any =
+    Seq(input).toDF("c").select(f(col("c"))).collect()(0).get(0)
+
+  private def evalTags(input: String): Seq[String] =
+    Seq(input).toDF("c").select(TE.detectTags(col("c")))
+      .collect()(0).getSeq[String](0)
+
+  test("extractNumbers (ExtractTest.kt:10–15)") {
+    for (w <- Seq("转发", "点赞", "评论"))
+      assert(eval1(s"$w 17376", TE.intOrZero) === 17376)
+    assert(eval1("no digits", TE.intOrZero) === 0)
+    assert(eval1("转发 17376x", TE.intOrZero) === 0) // anchored matchEntire
+  }
+
+  test("extractTags (ExtractTest.kt:17–29)") {
+    assert(evalTags("@abc 一些内容 @def//@ghi: 另一些内容//@jkl: 还有一些内容")
+      === Seq("@abc", "@def"))
+    assert(evalTags("#this#and#that#//@someone: #another# thing")
+      === Seq("#this#", "#that#"))
+  }
+
+  test("extractTime (ExtractTest.kt:31–48)") {
+    assert(eval1("<div class=\"WB_from S_txt2\"><a title=\"2019-07-01 14:43\">7月1日 14:43</a></div>",
+      TE.titleAttr) === "2019-07-01 14:43")
+    val html = "<a href=\"//weibo.com/2803301701/I38U0qh0y?refer_flag=1001030103_\" " +
+      "target=\"_blank\" suda-data=\"key=tblog_search_weibo&amp;value=seqid:156916441389001236229|" +
+      "type:1|t:0|pos:1-0|q:%23%E8%BF%99%23|ext:cate:306,mpos:1,click:wb_time\">08月21日 22:40 转赞人数超过10万;</a>"
+    assert(eval1(html, TE.anchorText) === "08月21日 22:40")
+  }
+
+  test("formatTime / alignTime (ExtractTest.kt:50–73 + impl semantics)") {
+    def align(scrap: String, t: String): String =
+      Seq((scrap, t)).toDF("s", "t")
+        .select(TE.alignTime(col("s"), col("t"))).collect()(0).getString(0)
+    assert(align("2019-09-15 04:05:06", "刚刚") === "2019-09-15 04:05")
+    assert(align("2019-09-15 04:05:06", "6秒前") === "2019-09-15 04:05")
+    assert(align("2019-09-15 04:05:06", "33分钟前 转赞人数超过10") === "2019-09-15 03:32")
+    assert(align("2019-09-15 04:05:06", "2小时前") === "2019-09-15 02:05")
+    assert(align("2019-09-15 04:05:06", "今天 14:38") === "2019-09-15 14:38")
+    assert(align("2019-09-15 04:05:06", "今天14:38 转赞人数超过10") === "2019-09-15 14:38")
+    // implementation-true value for the 月日 branch (see header note)
+    assert(align("2019-09-15 04:05:06", "08月01日 12:14") === "2019-08-01 12:14")
+    // 年 branch string rewrite + passthrough
+    assert(align("2019-09-15 04:05:06", "2018年07月02日") === "2018-07-02")
+    assert(align("2019-09-15 04:05:06", "2019-08-21 10:00") === "2019-08-21 10:00")
+    // cross-midnight subtraction
+    assert(align("2019-09-15 00:30:00", "2小时前") === "2019-09-14 22:30")
+  }
+
+  test("extractName (ExtractTest.kt:75–82)") {
+    val html = "<a href=\"//weibo.com/1342829361?refer_flag=1001030103_\" class=\"name\" " +
+      "target=\"_blank\" nick-name=\"加措上师-慈爱基金\" suda-data=\"key=tblog\">加措上师-慈爱基金</a>"
+    assert(eval1(html, TE.nickName) === "加措上师-慈爱基金")
+  }
+
+  test("url parsers (MicroBlog.kt:42–79)") {
+    assert(eval1("//weibo.com/2803301701/I38U0qh0y?refer_flag=1", TE.url2codedMid) === "I38U0qh0y")
+    assert(eval1("//weibo.com/2803301701/I38U0qh0y?refer_flag=1", TE.uidFromBlogUrl) === "2803301701")
+    assert(eval1("not a url", TE.url2codedMid) === "") // reference returns ""
+    assert(eval1("//weibo.com/u/1342829361", TE.uidFromUserUrl) === "1342829361")
+  }
+
+  test("nell concept split (FromText.kt:11–21)") {
+    val r = Seq("concept_athlete_michael_jordan").toDF("c")
+      .select(TE.nellLabelEntity(col("c"))).collect()(0).getStruct(0)
+    assert(r.getString(0) === "athlete")
+    assert(r.getString(1) === "michael_jordan")
+    val f = Seq("noconcept").toDF("c")
+      .select(TE.nellLabelEntity(col("c"))).collect()(0).getStruct(0)
+    assert(f.getString(0) === "noconcept")
+    assert(f.getString(1) === "gpslocation")
+    assert(eval1("concept:athletehomestadium", TE.nellRelation) === "athletehomestadium")
+  }
+
+  test("base62 mid codec roundtrip property (MicroBlog.kt:8–73)") {
+    // mids whose segments encode to widths 1/4/4 and decode without losing
+    // leading zeros (no-leading-zero 7-digit segments) — the reference's
+    // implicit domain (property checked over a seeded sample)
+    val r = new java.util.Random(42)
+    (0 until 500).foreach { _ =>
+      val dec = f"${10 + r.nextInt(52)}%02d${1000000 + r.nextInt(9000000)}%07d${1000000 + r.nextInt(9000000)}%07d"
+      val coded = Base62.encodeMid(dec)
+      assert(coded.length === 9, dec)
+      assert(Base62.decodeCodedMid(coded) === dec)
+    }
+    // golden: a real-shaped mid
+    assert(Base62.encodeMid("4419234098953795").length === 9)
+    assert(Base62.decodeCodedMid(Base62.encodeMid("4419234098953795")) === "4419234098953795")
+  }
+}
