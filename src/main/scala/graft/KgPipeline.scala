@@ -28,42 +28,62 @@ object KgPipeline {
       .select(col("doc_id"), col("s.offset").as("span_offset"), col("s.text").as("text"))
 
   /** Canonicalized distinct triple set with provenance. */
+  /** @param dimFastPaths when true, the dimension-bounded passes (KB BFS
+    *   closure, alias CC) use their driver fast paths below the collectable
+    *   threshold (see KbExpand/Canon docs). The golden P/R suite runs with
+    *   false — pure dataflow — so the gate never tests driver code against
+    *   driver code; KgParitySpec asserts both modes emit identical triples. */
   def run(spark: SparkSession, docs: DataFrame, ment2ent: DataFrame,
           avpair: DataFrame, io: Option[TableIO] = None,
-          shufflePartitions: Int = 32): Outputs = {
+          shufflePartitions: Int = 32,
+          dimFastPaths: Boolean = false): Outputs = {
+    val dimThreshold = if (dimFastPaths) 2000000L else 0L
 
+    // Stage boundaries: snapshot commit when checkpointing. Without io the
+    // big stages stay LAZY — with single-pass triple emission each wide
+    // input is scanned at most twice, and in-memory caching of fat rows
+    // serializes local-mode tasks on the MemoryStore lock (measured: 3/32
+    // threads busy during cache build). Only the small dim-side stages
+    // (kb, canon_map) are checkpointed via `small()`.
     def stage(name: String, upstream: Seq[String])(f: => DataFrame): DataFrame =
       io match {
         case Some(t) => t.runOrResume(name, upstream)(f)
         case None => f
       }
+    def small(df: DataFrame): DataFrame =
+      if (io.isDefined) df else df.localCheckpoint()
 
     val weibo = stage("weibo_triples", Seq.empty) {
       WeiboTriples.emit(Normalize.blogs(docs), Normalize.comments(docs))
     }
 
-    val kb = stage("kb_triples", Seq.empty) {
+    val kb = small(stage("kb_triples", Seq.empty) {
       val dict = ment2ent.select("mention").distinct()
         .collect().map(_.getString(0)).toSeq // bounded dictionary (dim table)
       val mentions = Mentions.detect(spark, textSpans(docs), dict)
         .select(col("mention")).distinct()
-      KbExpand.expand(spark, mentions, ment2ent, avpair, Rules.recursivePreds)
-    }
+      KbExpand.expand(spark, mentions, ment2ent, avpair, Rules.recursivePreds,
+        driverThreshold = dimThreshold)
+    })
 
     val kbT = kb.select(col("subj"), col("pred"), col("obj"),
       lit(null).cast("string").as("doc_id"), lit(-1).as("span_offset"))
 
     // the CC pass runs once and is snapshot-committed: resume never re-iterates
-    val canonMap = stage("canon_map", Seq("kb_triples")) {
-      Canon.canonicalMap(kb, Rules.categoryPred, Rules.aliasPreds)
-    }
+    val canonMap = small(stage("canon_map", Seq("kb_triples")) {
+      Canon.canonicalMap(kb, Rules.categoryPred, Rules.aliasPreds,
+        ccDriverThreshold = dimThreshold)
+    })
 
     val triples = stage("triples", Seq("weibo_triples", "kb_triples", "canon_map")) {
       val all = Canon.canonicalize(weibo.unionByName(kbT), canonMap)
-      // two-phase dedup with explicit exchange width (SURVEY.md §4.2.5):
-      // partial hash-agg per partition, one shuffle on subj, final agg.
+      // Two-phase dedup (SURVEY.md §4.2.5): partial hash-agg per partition,
+      // then ONE shuffle hashed on the FULL (subj, pred, obj) key — never on
+      // subj alone: the planted hot root makes subj heavily skewed (one
+      // celebrity subject owns ~30% of repost triples) and a subj-keyed
+      // exchange creates a straggler partition. The composite key is
+      // high-cardinality and skew-free; AQE coalesces the final width.
       all
-        .repartition(shufflePartitions, col("subj"))
         .groupBy("subj", "pred", "obj")
         .agg(min(col("doc_id")).as("doc_id"),
           min(col("span_offset")).as("span_offset"))

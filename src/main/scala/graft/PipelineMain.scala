@@ -38,7 +38,7 @@ object PipelineMain {
     val t0 = System.nanoTime()
     val out = KgPipeline.run(spark, CorpusData.docsDF(spark, cfg),
       CorpusData.ment2entDF(spark, cfg), CorpusData.avpairDF(spark, cfg),
-      io = Some(io), shufflePartitions = shuffleParts)
+      io = Some(io), shufflePartitions = shuffleParts, dimFastPaths = true)
     val nTriples = out.triples.count()
     val nV = out.vertices.count()
     val nE = out.edges.count()

@@ -1,13 +1,372 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Rules
+import graft.datapipe.{Dedup, Multimodal, Similarity, TextStats}
+import graft.gen.{Corpus, CorpusData}
+import graft.stages._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2) plus the training-data-pipeline operators; `oracleSql` is
+  * the DuckDB-equivalent for every SQL-expressible query (same column names,
+  * rounded doubles). KG-pipeline queries run on the engine's own seeded
+  * interleaved-docs corpus (BASELINE.json: no external data) and are
+  * rows-only checks — their correctness gate is the golden-triple P/R suite
+  * in `sbt -batch test`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // shared corpus config for the KG queries (independent of sfDir)
+  private val kgCfg = Corpus.Config(nDocs = 1200, nEntities = 120, seed = 42L)
+
+  private def kgOutputs(s: SparkSession): KgPipeline.Outputs =
+    KgPipeline.run(s, CorpusData.docsDF(s, kgCfg),
+      CorpusData.ment2entDF(s, kgCfg), CorpusData.avpairDF(s, kgCfg),
+      shufflePartitions = s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  private def blogEdges(s: SparkSession): DataFrame =
+    Normalize.blogs(CorpusData.docsDF(s, kgCfg))
+      .filter(col("valid")).select("mid", "repost_id")
+
+  /** Flagship: full KG construction on sf0.001-scale corpus. */
+  def entry(spark: SparkSession): DataFrame = kgOutputs(spark).triples
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections (S2, P1–P4) --------------------------
+    "q_scan_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    // ---- aggregations (A3–A7) ------------------------------------------------
+    // money sums go through DECIMAL so the aggregate is exact and
+    // order-independent — double summation order differs across engines
+    "q_agg_groupby" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)")).cast("double"), 2).as("revenue"))),
+    "q_agg_stats" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority").agg(
+        count(lit(1)).as("cnt"),
+        round((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))), 2).as("avg_price"),
+        round(max("o_totalprice"), 2).as("max_price"))),
+    "q_tier_histogram" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(floor(col("value") / 10).cast("int").as("tier"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- joins (J1–J5) -------------------------------------------------------
+    "q_join_broadcast" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation")).agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 1).as("total"))
+        .select("nation", "n_orders", "total")),
+    "q_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+    "q_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+    "q_selfjoin_adjacent" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val a = li.toDF("k", "ln1", "p1")
+      val b = li.toDF("k", "ln2", "p2")
+      a.join(b, a("k") === b("k") && b("ln2") === a("ln1") + 1)
+        .select(a("k").as("l_orderkey"), col("ln1"), col("ln2"),
+          round(col("p1") + col("p2"), 2).as("pair_price"))
+    }),
+    "q_contains_filter" -> ((s, d) =>
+      t(s, d, "part").filter(col("p_type").contains("ECONOMY"))
+        .groupBy(col("p_brand").as("brand")).agg(count(lit(1)).as("n"))),
+
+    // ---- set ops / dedup / windows (A2, A8, A11, A12) ------------------------
+    "q_union_dedup" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_name").as("name"))
+        .unionByName(t(s, d, "supplier").select(col("s_name").as("name")))
+        .groupBy("name").agg(count(lit(1)).as("n"))),
+    "q_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 3000)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum("l_quantity").over(w), 2).as("running_qty"))
+    }),
+    "q_rownum_ids" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        (row_number().over(Window.orderBy("doc_id")) - 1).as("ent_id"))),
+
+    // ---- explode / scalar functions (A10, F1–F2, F10, F13) -------------------
+    "q_explode_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))),
+    "q_regex_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          regexp_extract(col("props"), "([0-9]+)", 1).as("num"))
+        .agg(count(lit(1)).as("n"))),
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(pmod(col("k"), lit(10)).as("bucket")).agg(count(lit(1)).as("n"))),
+    "q_time_buckets" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))),
+
+    // ---- training-data ops: text ---------------------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(TextStats.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))),
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))),
+    "q_text_stats" -> ((s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      t(s, d, "documents").select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        length(col("text")).as("n_chars_m"))
+    }),
+    "q_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("quality"))),
+    "q_langid" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(TextStats.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+    "q_minhash" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nSh = greatest(size(toks) - 2, lit(1))
+      def mh(salt: String) = array_min(transform(sequence(lit(1), nSh),
+        i => md5(concat(lit(salt), concat_ws(" ", slice(toks, i, lit(3)))))))
+      t(s, d, "documents").select(col("doc_id"), mh("0").as("mh0"), mh("1").as("mh1"))
+    }),
+    "q_simhash" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Dedup.simhash(col("text"), bits = 16).as("simhash"))),
+    "q_jaccard_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 120)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = docs.toDF("id1", "toks1")
+      val b = docs.toDF("id2", "toks2")
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(size(array_intersect(col("toks1"), col("toks2"))).cast("double") /
+            size(array_union(col("toks1"), col("toks2"))).cast("double"), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.7)
+    }),
+    "q_lsh_candidates" -> ((s, d) => {
+      // synthetic texts draw from a ~40-word vocab, so band collisions are
+      // far denser than real corpora — cap the input so the intra-bucket
+      // pair product stays representative rather than quadratic-degenerate
+      val docs = t(s, d, "documents").filter(col("doc_id") < 1500)
+      Dedup.lshCandidates(Dedup.lshBands(docs, "doc_id", "text", 8, 4, 3))
+    }),
+
+    // ---- training-data ops: embeddings ---------------------------------------
+    "q_embed_topk" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.bruteForceTopK(
+        embs.filter(col("vec_id") < 5), embs.filter(col("vec_id") < 1000),
+        "vec_id", "v", k = 3)
+    }),
+    "q_embed_lsh_topk" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.lshTopK(embs.filter(col("vec_id") < 20), embs, "vec_id", "v", 3)
+    }),
+    "q_embed_neardup" -> ((s, d) => {
+      val embs = t(s, d, "embeddings")
+        .filter(col("vec_id") < 500)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      // synthetic embeddings are random (near-orthogonal); 0.3 exercises the
+      // bucket-join + verify path with a non-empty result
+      Dedup.embeddingNearDups(embs, "vec_id", "v", threshold = 0.3, planes = 4)
+    }),
+
+    // ---- multimodal plumbing ---------------------------------------------------
+    "q_media_meta" -> ((s, d) =>
+      Multimodal.mediaFromDocs(t(s, d, "documents"))
+        .select(col("doc_id"), col("kind"), col("mime"),
+          octet_length(col("payload")).as("n_bytes"))),
+    "q_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s, Multimodal.mediaFromDocs(t(s, d, "documents")))
+        .toDF().select(col("doc_id"), col("kind"), col("n_bytes"),
+          round(col("feature")(0), 4).as("f0"))),
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.mediaFromDocs(t(s, d, "documents")))),
+
+    // ---- KG pipeline on its own corpus (rows-only; P/R gate is in sbt test) ---
+    "q_kg_triples" -> ((s, _) => kgOutputs(s).triples),
+    "q_kg_vertices" -> ((s, _) => kgOutputs(s).vertices),
+    "q_kg_canon_map" -> ((s, _) => {
+      val dict = CorpusData.ment2entDF(s, kgCfg)
+      val mentions = Mentions.detect(s, KgPipeline.textSpans(CorpusData.docsDF(s, kgCfg)),
+        dict.select("mention").distinct().collect().map(_.getString(0)).toSeq)
+        .select("mention").distinct()
+      val kb = KbExpand.expand(s, mentions, dict,
+        CorpusData.avpairDF(s, kgCfg), Rules.recursivePreds)
+      Canon.canonicalMap(kb, Rules.categoryPred, Rules.aliasPreds)
+    }),
+    "q_tree_depth_histogram" -> ((s, _) =>
+      TreeAnalytics.depthHistogram(TreeAnalytics.rootsAndLevels(blogEdges(s)))),
+    "q_tree_tier_histogram" -> ((s, _) =>
+      TreeAnalytics.tierHistogram(TreeAnalytics.rootsAndLevels(blogEdges(s)), minDepth = 1)),
+    "q_tree_paths" -> ((s, _) => {
+      val e = blogEdges(s)
+      val labels = TreeAnalytics.rootsAndLevels(e)
+      TreeAnalytics.pathsAtDistance(e,
+        labels.filter(col("level") === 0).select("mid"), 2)
+    }),
+    "q_export_graph" -> ((s, _) =>
+      Export.integerGraph(s, kgOutputs(s).triples))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'",
+    "q_agg_groupby" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, count(*) AS cnt, " +
+        "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS revenue " +
+        "FROM lineitem GROUP BY 1, 2"),
+    "q_agg_stats" ->
+      ("SELECT o_orderpriority, count(*) AS cnt, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price, " +
+        "round(max(o_totalprice), 2) AS max_price FROM orders GROUP BY 1"),
+    "q_tier_histogram" ->
+      "SELECT CAST(floor(value / 10) AS INT) AS tier, count(*) AS n FROM events GROUP BY 1",
+    "q_join_broadcast" ->
+      ("SELECT n_name AS nation, count(*) AS n_orders, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"),
+    "q_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "q_anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)"),
+    "q_selfjoin_adjacent" ->
+      ("SELECT a.l_orderkey, a.l_linenumber AS ln1, b.l_linenumber AS ln2, " +
+        "round(a.l_extendedprice + b.l_extendedprice, 2) AS pair_price FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1"),
+    "q_contains_filter" ->
+      "SELECT p_brand AS brand, count(*) AS n FROM part WHERE p_type LIKE '%ECONOMY%' GROUP BY 1",
+    "q_union_dedup" ->
+      ("SELECT name, count(*) AS n FROM (SELECT c_name AS name FROM customer " +
+        "UNION ALL SELECT s_name AS name FROM supplier) GROUP BY 1"),
+    "q_window_topk" ->
+      ("SELECT l_suppkey, l_orderkey, l_linenumber, price, rn FROM (" +
+        "SELECT l_suppkey, l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price, " +
+        "row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn " +
+        "FROM lineitem) WHERE rn <= 3"),
+    "q_window_running" ->
+      ("SELECT l_suppkey, l_orderkey, l_linenumber, round(sum(l_quantity) OVER (" +
+        "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty " +
+        "FROM lineitem WHERE l_orderkey < 3000"),
+    "q_rownum_ids" ->
+      "SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS ent_id FROM documents",
+    "q_explode_tokens" ->
+      ("SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS token " +
+        "FROM documents) GROUP BY 1"),
+    "q_regex_extract" ->
+      "SELECT event_type, regexp_extract(props, '([0-9]+)', 1) AS num, count(*) AS n FROM events GROUP BY 1, 2",
+    "q_json_extract" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS bucket, count(*) AS n " +
+        "FROM events GROUP BY 1"),
+    "q_time_buckets" ->
+      ("SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, count(*) AS n, " +
+        "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value FROM events GROUP BY 1"),
+    "q_dedup_exact" ->
+      ("SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, " +
+        "count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1"),
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+    "q_text_stats" ->
+      ("SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens, " +
+        "len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct, " +
+        "length(text) AS n_chars_m FROM documents"),
+    "q_quality_score" ->
+      ("WITH s AS (SELECT doc_id, length(text) AS n, " +
+        "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct, " +
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
+        "SELECT doc_id, round(" +
+        "(CASE WHEN n BETWEEN 50 AND 2000 THEN 1.0 WHEN n BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END) * 0.4 + " +
+        "least(CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) * 4.0, 1.0) * 0.4 + " +
+        "(1.0 - least(CAST(punct AS DOUBLE) / greatest(n, 1) * 10.0, 1.0)) * 0.2, 4) AS quality FROM s"),
+    "q_langid" ->
+      ("WITH s AS (SELECT length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
+        "greatest(length(text), 1) AS n, " +
+        "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), " +
+        "x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) " +
+        "/ greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS stop_ratio FROM documents) " +
+        "SELECT CASE WHEN CAST(cjk AS DOUBLE) / n > 0.3 THEN 'zh' " +
+        "WHEN stop_ratio > 0.02 THEN 'en' ELSE 'unk' END AS lang_pred, count(*) AS n FROM s GROUP BY 1"),
+    "q_minhash" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, md5('0' || array_to_string(toks[i:i+2], ' ')) AS h0, " +
+        "md5('1' || array_to_string(toks[i:i+2], ' ')) AS h1 " +
+        "FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)) " +
+        "SELECT doc_id, min(h0) AS mh0, min(h1) AS mh1 FROM s GROUP BY 1"),
+    "q_simhash" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM t), " +
+        "b AS (SELECT doc_id, i AS bit, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote " +
+        "FROM h, unnest(generate_series(0, 15)) AS u(i) GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1"),
+    "q_jaccard_pairs" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents WHERE doc_id < 120) " +
+        "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard " +
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7"),
+    "q_embed_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000), " +
+        "s AS (SELECT query_id, id, round(list_dot_product(qv, v) / " +
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos " +
+        "FROM q, c WHERE query_id <> id), " +
+        "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM s) " +
+        "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3"),
+    "q_media_meta" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime, " +
+        "octet_length(encode(text)) AS n_bytes FROM documents"),
+    "q_frame_sample" ->
+      ("SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS offset_ms FROM documents, " +
+        "unnest(generate_series(0, least(octet_length(encode(text)) // 100, 30))) AS u(i) " +
+        "WHERE doc_id % 3 = 2")
+  )
 }

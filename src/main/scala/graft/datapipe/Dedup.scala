@@ -1,0 +1,130 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact → MinHash/LSH → SimHash → n-gram Jaccard →
+  * embedding-cosine. Each is shaped for 100 TB: candidate generation is
+  * always an equi-join on a hash/band/bucket key (shuffle on a small key,
+  * never an all-pairs product); exact similarity runs only inside buckets.
+  */
+object Dedup {
+
+  // ---- exact ----------------------------------------------------------------
+
+  /** Exact dedup via content hash: one row kept per normalized-text group
+    * (two-phase hash aggregate; min doc_id is the deterministic survivor). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
+      .agg(count("*").as("n_dups"), min(col(idCol)).as("keep_id"))
+
+  // ---- MinHash + LSH ---------------------------------------------------------
+
+  /** w-shingles (word n-grams) of the token array. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextStats.tokens(text)
+    when(size(toks) >= w,
+      transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature: per hash-function i, min over shingles of
+    * md5(i ∥ shingle). String-min over md5 hex is a valid permutation-min
+    * proxy AND is reproducible in any engine with md5 (oracle parity). */
+  def minhash(text: Column, numHashes: Int, w: Int = 3): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles(text, w), s => md5(concat(lit(i.toString), s))))
+    }: _*)
+
+  /** LSH banding: split the signature into `bands` keys; docs sharing any
+    * band key are near-dup candidates. Returns (id, band, key). */
+  def lshBands(docs: DataFrame, idCol: String, textCol: String,
+               numHashes: Int = 8, bands: Int = 4, w: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhash(col(textCol), numHashes, w)
+    docs.select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows))))))
+      .select(col("id"), col("pos").as("band"), md5(col("col")).as("key"))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets (id1 < id2). The self-join is
+    * an equi-join on (band, key) — at scale bucket sizes stay small, so the
+    * intra-bucket pair product is bounded. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame = {
+    val a = bandsDf.toDF("id1", "band", "key")
+    val b = bandsDf.toDF("id2", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  // ---- SimHash ----------------------------------------------------------------
+
+  /** 32-bit SimHash over tokens: per bit, sum of ±1 votes from each token's
+    * hash; bit set if the sum is positive. Token hash = first 8 md5 hex
+    * chars (engine-reproducible). Pure column expressions. */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val tokHashes = transform(TextStats.tokens(text),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { b =>
+      val votes = aggregate(tokHashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- n-gram Jaccard ----------------------------------------------------------
+
+  /** Exact Jaccard over distinct token sets for a candidate pair set —
+    * the verify step after LSH blocking. `pairs` = (id1, id2). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, threshold: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(TextStats.tokens(col(textCol))).as("toks"))
+    pairs
+      .join(toks.toDF("id1", "toks1"), Seq("id1"))
+      .join(toks.toDF("id2", "toks2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(size(array_intersect(col("toks1"), col("toks2"))).cast("double") /
+          size(array_union(col("toks1"), col("toks2"))).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- embedding cosine ----------------------------------------------------------
+
+  /** Cosine similarity of two float-array columns — zip_with dot product,
+    * fixed left-to-right summation (deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold, blocked by an LSH
+    * sign-bucket (random-hyperplane sketch) so candidate generation is an
+    * equi-join, not a cross product. */
+  def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, planes: Int = 8): DataFrame = {
+    val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.signBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.toDF("id1", "v1", "bucket")
+    val b = bucketed.toDF("id2", "v2", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

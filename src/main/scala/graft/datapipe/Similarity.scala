@@ -1,0 +1,69 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+  * against the full corpus, one pass, no corpus shuffle. Scale path: an
+  * LSH (random-hyperplane) bucketed variant that probes only matching
+  * buckets, trading recall for a bucket-local candidate set; the bucket key
+  * join replaces the cross product. Deterministic throughout (hyperplanes
+  * derive from md5 of (plane, dim) — no RNG state).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * maps md5 to ±1. */
+  private def planeSign(p: Int, d: Column): Column =
+    when(conv(substring(md5(concat(lit(p.toString), lit("_"), d.cast("string"))),
+      1, 6), 16, 10).cast("long") % 2 === 0, 1.0).otherwise(-1.0)
+
+  /** Random-hyperplane sign bucket: `planes` sign bits of the vector's dot
+    * products with deterministic ±1 hyperplanes. */
+  def signBucket(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeSign(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding self). Query set is broadcast; ties broken by id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val scored = q.join(c, col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        round(Dedup.cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: only corpus vectors in the query's sign bucket are
+    * scored. Same output shape as bruteForceTopK; recall < 1 by design. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        round(Dedup.cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

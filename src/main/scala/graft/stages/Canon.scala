@@ -93,11 +93,37 @@ object Canon {
     * @return (name, comp) where comp = lexicographically-min name reachable.
     */
   def connectedComponents(edges: DataFrame, salt: Int = 16,
-                          checkpointEvery: Int = 3): DataFrame = {
+                          checkpointEvery: Int = 3,
+                          driverThreshold: Long = 0L): DataFrame = {
     val e = edges.toDF("src", "dst")
     val sym = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+
+    // The alias graph is KB-bounded (it grows with the dictionary, not the
+    // corpus), so it usually fits the driver: a collected union-find costs
+    // one job instead of O(diameter) shuffle rounds. The iterative kernel
+    // below remains the path for an unbounded alias graph.
+    if (driverThreshold > 0 && sym.count() <= driverThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap[String, String]()
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val pairs = sym.as[(String, String)].collect()
+      pairs.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // sym is symmetric → every node occurs as src
+      val nodes = pairs.iterator.map(_._1).toSet
+      return nodes.iterator.map(n => (n, find(n))).toSeq.toDF("name", "comp")
+    }
 
     var comp = sym.select(col("src").as("name")).distinct()
       .withColumn("comp", col("name"))
@@ -132,13 +158,14 @@ object Canon {
   /** Full canonical map for a KB triple set: name → canonical name (only
     * names whose canonical differs are returned — the join side stays small). */
   def canonicalMap(kbTriples: DataFrame, categoryPred: String,
-                   aliasPreds: Set[String]): DataFrame = {
+                   aliasPreds: Set[String],
+                   ccDriverThreshold: Long = 0L): DataFrame = {
     val labels = nodeLabels(kbTriples, categoryPred)
     val aliasEdges = kbTriples
       .filter(col("pred").isin(aliasPreds.toSeq: _*))
       .select(col("subj").as("a"), col("obj").as("b"))
     val edges = containmentEdges(labels).unionByName(aliasEdges).distinct()
-    connectedComponents(edges)
+    connectedComponents(edges, driverThreshold = ccDriverThreshold)
       .filter(col("comp") =!= col("name"))
   }
 

@@ -37,7 +37,41 @@ object KbExpand {
       ment2ent: DataFrame,
       avpair: DataFrame,
       recursivePreds: Set[String],
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20,
+      driverThreshold: Long = 0L): DataFrame = {
+
+    // The BFS closure is DIMENSION-bounded: it expands over the KB tables,
+    // never over per-doc rows (the doc side is already reduced to distinct
+    // mentions). When the KB fits the driver — the same condition under
+    // which it is broadcast — computing the closure in-memory costs 2 jobs
+    // instead of O(rounds); this is exactly the reference's HashMap walk
+    // (AbstractSubjectGraph.kt:17–46). The dataflow loop below remains the
+    // path for KBs beyond driver memory.
+    if (driverThreshold > 0 && avpair.count() <= driverThreshold) {
+      import spark.implicits._
+      val m2e = ment2ent.select(col("mention"), col("entities"))
+        .as[(String, Seq[String])].collect().toMap
+      val av = avpair.select("entity", "pred", "obj")
+        .as[(String, String, String)].collect().groupBy(_._1)
+      val visited = scala.collection.mutable.HashSet[String]()
+      val queue = scala.collection.mutable.Queue[String]()
+      mentions.select("mention").as[String].collect().foreach(queue.enqueue)
+      while (queue.nonEmpty) {
+        val m = queue.dequeue()
+        m2e.getOrElse(m, Nil).foreach { e =>
+          if (!visited.contains(e)) {
+            visited += e
+            av.getOrElse(e, Array.empty).foreach { case (_, p, o) =>
+              if (recursivePreds.contains(p)) queue.enqueue(o)
+            }
+          }
+        }
+      }
+      return visited.toSeq.sorted.toDF("entity")
+        .join(broadcast(avpair), Seq("entity"))
+        .select(col("entity").as("subj"), col("pred"), col("obj"))
+        .distinct()
+    }
 
     val recPreds = recursivePreds.toSeq
     var frontier = mentions.select(col("mention")).distinct().localCheckpoint()
@@ -60,18 +94,20 @@ object KbExpand {
 
       if (ents.isEmpty) done = true
       else {
-        visited = if (visited == null) ents else visited.union(ents).localCheckpoint()
+        // ents is checkpointed → unions over checkpointed pieces re-read
+        // cached blocks; keeping visited/frontier lazy makes the per-round
+        // blocking-job count O(1) (just the ents checkpoint), which is what
+        // keeps the BFS's parallelism-independent cost negligible.
+        visited = if (visited == null) ents else visited.union(ents)
         // avpair is a dimension table; AQE broadcasts it when small, falls
         // back to shuffle hash join at real KB scale.
         val newTriples = ents.join(avpair, Seq("entity"))
           .select(col("entity").as("subj"), col("pred"), col("obj"))
-          .localCheckpoint()
         triples = if (triples == null) newTriples else triples.union(newTriples)
         frontier = newTriples
           .filter(col("pred").isin(recPreds: _*))
           .select(col("obj").as("mention"))
           .distinct()
-          .localCheckpoint()
         round += 1
       }
     }

@@ -16,9 +16,16 @@ object Normalize {
 
   /** Spans in offset order — the generator emits them ordered, but the
     * per-row invariant is on (kind, text, media_ref, ORDER), so sort
-    * defensively (cheap: arrays are tiny). */
+    * defensively. IMPORTANT: comparator-lambda array_sort is interpreted
+    * (not codegen'd) — it must be materialized ONCE per row into a column
+    * (see [[withSortedSpans]]), never embedded in every derived column, or
+    * the sort re-evaluates ~15× per row and dominates the stage. */
   def spansSorted(c: Column): Column =
     array_sort(c, (l, r) => l.getField("offset") - r.getField("offset"))
+
+  /** Rewrite `spans` to offset-sorted exactly once per row. */
+  def withSortedSpans(docs: DataFrame): DataFrame =
+    docs.withColumn("spans", spansSorted(col("spans")))
 
   private def firstOf(spans: Column, kind: String): Column =
     get(filter(spans, s => s.getField("kind") === kind), lit(0)) // null-safe under ANSI
@@ -41,8 +48,9 @@ object Normalize {
 
   /** docs → normalized blog rows (null mid / missing time ⇒ invalid, the
     * reference's `return false` paths, FromScrappyDump.kt:166, 179–182, 225). */
-  def blogs(docs: DataFrame): DataFrame = {
-    val sp = spansSorted(col("spans"))
+  def blogs(docs0: DataFrame): DataFrame = {
+    val docs = withSortedSpans(docs0)
+    val sp = col("spans")
     val url = refOf(sp, "link")
     val content = textOf(sp, "text")
     val unameRaw = textOf(sp, "uname")
@@ -92,8 +100,9 @@ object Normalize {
   }
 
   /** docs → normalized comment rows (FromScrappyDump.kt:295–348). */
-  def comments(docs: DataFrame): DataFrame = {
-    val sp = spansSorted(col("spans"))
+  def comments(docs0: DataFrame): DataFrame = {
+    val docs = withSortedSpans(docs0)
+    val sp = col("spans")
     val cidDec = textOf(sp, "cid")
     val ct = textOf(sp, "ctime")
     // startsWith "<div" → text between first '>' and next '<'; then strip

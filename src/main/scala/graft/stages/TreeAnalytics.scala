@@ -1,0 +1,130 @@
+package graft.stages
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage 6 — repost-forest analytics as iterative DataFrame passes.
+  *
+  * The reference builds an in-memory `Blog` adjacency forest and recurses on
+  * the driver (weibo/Blog.kt:25–145, BlogTreeAnalyze.kt:25–58,
+  * TreePatternAnalyze.kt:30–56). Here the forest is only ever an
+  * `edges(mid, parent_mid)` DataFrame; every tree metric derives from ONE
+  * iterative BFS kernel that labels each node with (root, level) — so the
+  * cost is O(depth) joins regardless of forest size, and each join
+  * co-partitions on the parent key. Lineage is truncated per level with
+  * localCheckpoint.
+  */
+object TreeAnalytics {
+
+  /** BFS kernel. Input: (mid, repost_id) rows (repost_id nullable).
+    * Output: (mid, root, level) for every node, including placeholder
+    * parents that never appeared as a mid themselves — the reference turns
+    * those into roots (Blog.kt:37–44; FromScrappyDump.kt:263–268).
+    */
+  def rootsAndLevels(blogEdges: DataFrame, maxDepth: Int = 64): DataFrame = {
+    val e = blogEdges.select(col("mid"), col("repost_id")).cache()
+    val mids = e.select("mid")
+    // placeholder parents: referenced as parent, never seen as a mid
+    val placeholders = e.filter(col("repost_id").isNotNull)
+      .select(col("repost_id").as("mid")).distinct()
+      .join(mids, Seq("mid"), "left_anti")
+    // roots: no-parent rows + placeholders
+    val roots = e.filter(col("repost_id").isNull).select("mid")
+      .union(placeholders).distinct()
+
+    // child→parent pairs (parent may be a placeholder)
+    val child2parent = e.filter(col("repost_id").isNotNull)
+      .select(col("mid"), col("repost_id").as("parent"))
+
+    var labeled = roots
+      .select(col("mid"), col("mid").as("root"), lit(0).as("level"))
+      .localCheckpoint()
+    var frontier = labeled
+    var level = 0
+    var growing = true
+    while (growing && level < maxDepth) {
+      val next = child2parent
+        .join(frontier.select(col("mid").as("parent"), col("root")), Seq("parent"))
+        .select(col("mid"), col("root"), lit(level + 1).as("level"))
+        // a mid can repost several parents in the dump; reference addChild
+        // keeps it under each parent but identity is mid-only — keep first
+        .dropDuplicates("mid")
+        .join(labeled.select("mid"), Seq("mid"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) growing = false
+      else {
+        labeled = labeled.union(next).localCheckpoint()
+        frontier = next
+        level += 1
+      }
+    }
+    labeled
+  }
+
+  /** G2 — max depth per tree (Blog.kt:69–78). */
+  def treeDepths(labels: DataFrame): DataFrame =
+    labels.groupBy("root").agg(max("level").as("depth"))
+
+  /** A3 — trees-per-depth histogram (BlogTreeAnalyze.kt:72–76). */
+  def depthHistogram(labels: DataFrame): DataFrame =
+    treeDepths(labels).groupBy("depth").agg(count("*").as("trees"))
+      .orderBy("depth")
+
+  /** G3 — per-level node counts of each tree (Blog.kt:60–67). */
+  def diffusionWidth(labels: DataFrame): DataFrame =
+    labels.groupBy("root", "level").agg(count("*").as("width"))
+
+  /** TreePatternAnalyze.kt:30–56 — trees deeper than `minDepth`, average
+    * diffusion width → tier histogram of step `stepSize`. The reference's
+    * average is over the per-level width list (stages.average().toInt). */
+  def tierHistogram(labels: DataFrame, minDepth: Int = 4, stepSize: Int = 10): DataFrame = {
+    val deep = treeDepths(labels).filter(col("depth") > minDepth).select("root")
+    diffusionWidth(labels)
+      .join(deep, Seq("root"), "left_semi")
+      .groupBy("root").agg(floor(avg("width")).cast("int").as("avg_width"))
+      .groupBy((col("avg_width") / stepSize).cast("int").as("tier"))
+      .agg(count("*").as("trees"))
+      .orderBy("tier")
+  }
+
+  /** G8 — mean branching factor per tree over the SET of child-counts
+    * (Blog.kt:128–145 uses a Set<Int>, deduplicating equal counts). */
+  def averageNeighbors(blogEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val childCounts = blogEdges.filter(col("repost_id").isNotNull)
+      .groupBy(col("repost_id").as("mid")).agg(count("*").as("n_childs"))
+    childCounts.join(labels.select("mid", "root"), Seq("mid"))
+      .select("root", "n_childs").distinct() // reference set semantics
+      .groupBy("root").agg(floor(avg("n_childs")).cast("int").as("avg_neighbors"))
+  }
+
+  /** G6 — all root→node paths of exactly `distance` hops, as the reference's
+    * "mid, mid, …" step strings (Blog.kt:91–126; depth cap 5,
+    * DumpGraphToText.kt:264–267). Iterative path extension with an
+    * array<string> column. */
+  def pathsAtDistance(blogEdges: DataFrame, roots: DataFrame, distance: Int): DataFrame = {
+    require(distance <= 5, "reference caps episode depth at 5 (DumpGraphToText.kt:264)")
+    val child2parent = blogEdges.filter(col("repost_id").isNotNull)
+      .select(col("mid"), col("repost_id").as("parent"))
+    var paths = roots.select(col("mid").as("tip"), col("mid").as("root"),
+      array(col("mid")).as("path"))
+    (0 until distance).foreach { _ =>
+      paths = child2parent
+        .join(paths.select(col("tip").as("parent"), col("root"), col("path")),
+          Seq("parent"))
+        .select(col("mid").as("tip"), col("root"),
+          concat(col("path"), array(col("mid"))).as("path"))
+        .localCheckpoint()
+    }
+    paths.select(col("root"), col("tip"), concat_ws(", ", col("path")).as("steps"))
+  }
+
+  /** G4 — deepest chain endpoint per root (Blog.kt:80–89's longestPath tip;
+    * the interactive-analysis surface). Deterministic tie-break: smallest
+    * mid at the deepest level. */
+  def deepestLeaf(labels: DataFrame): DataFrame = {
+    val depths = treeDepths(labels)
+    labels.join(depths, Seq("root"))
+      .filter(col("level") === col("depth"))
+      .groupBy("root").agg(min("mid").as("leaf"), max("level").as("depth"))
+  }
+}

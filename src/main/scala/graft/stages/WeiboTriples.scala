@@ -1,7 +1,7 @@
 package graft.stages
 
 import graft.functions.{TextExtract => TE}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Stage 2b — (subj, pred, obj) triples from normalized blog/comment rows.
@@ -14,49 +14,63 @@ import org.apache.spark.sql.functions._
   * weibo id space can never collide with KB entity names during
   * canonicalization.
   *
-  * All narrow projections + one explode; unions stay unshuffled until the
-  * global triple dedup.
+  * SINGLE-PASS emission: each row builds one array of triple structs
+  * (conditional triples carry a null subj and are filtered after the
+  * explode), so the whole stage is scan → project → ONE Generate — not a
+  * 13-branch union that would re-read the docs 13 times. At 100 TB the
+  * number of input scans is the cost model; this keeps it at one.
   */
 object WeiboTriples {
 
-  private def t(subj: org.apache.spark.sql.Column, pred: String,
-                obj: org.apache.spark.sql.Column) = Seq(
-    subj.as("subj"), lit(pred).as("pred"), obj.as("obj"),
-    col("doc_id"), lit(0).as("span_offset"))
+  private def tr(subj: Column, pred: String, obj: Column,
+                 off: Column): Column =
+    struct(subj.as("subj"), lit(pred).as("pred"), obj.cast("string").as("obj"),
+      col("doc_id").as("doc_id"), off.cast("int").as("span_offset"))
 
   def emit(blogs: DataFrame, comments: DataFrame): DataFrame = {
-    val vb = blogs.filter(col("valid"))
-    val blogId = concat(lit("blog:"), col("mid"))
-    val userId = concat(lit("user:"), col("uid"))
+    val zero = lit(0)
 
-    val create = vb.select(t(userId, "create", blogId): _*)
-    val uname  = vb.select(t(userId, "name", col("username")): _*)
-    val repost = vb.filter(col("repost_id").isNotNull)
-      .select(t(concat(lit("blog:"), col("repost_id")), "repost", blogId): _*)
-    val rootKw = vb.filter(col("keyword").isNotNull)
-      .select(t(concat(lit("root:"), col("keyword")), "keyword", blogId): _*)
-    val atTime = vb.select(t(blogId, "at_time", col("time")): _*)
-    val counters = Seq(("repost", "repost_count"), ("comment", "comment_count"),
-      ("like", "like_count")).map { case (c, pred) =>
-      vb.select(t(blogId, pred, col(c).cast("string")): _*)
-    }.reduce(_ unionByName _)
-    // detectTags gated on content presence (FromScrappyDump.kt:236–239)
-    val tags = vb.filter(col("content").isNotNull)
-      .select(blogId.as("subj"), col("doc_id"), col("content_offset"),
-        explode(TE.detectTags(col("content"))).as("tag"))
-      .select(col("subj"), lit("reference").as("pred"),
-        concat(lit("tag:"), col("tag")).as("obj"),
-        col("doc_id"), col("content_offset").as("span_offset"))
+    val b = {
+      val blogId = concat(lit("blog:"), col("mid"))
+      val userId = concat(lit("user:"), col("uid"))
+      val fixed = array(
+        tr(userId, "create", blogId, zero),
+        tr(userId, "name", col("username"), zero),
+        tr(blogId, "at_time", col("time"), zero),
+        tr(blogId, "repost_count", col("repost"), zero),
+        tr(blogId, "comment_count", col("comment"), zero),
+        tr(blogId, "like_count", col("like"), zero),
+        // null subj when not a repost / not a root → filtered below
+        tr(concat(lit("blog:"), col("repost_id")), "repost", blogId, zero),
+        tr(concat(lit("root:"), col("keyword")), "keyword", blogId, zero))
+      // detectTags gated on content presence (FromScrappyDump.kt:236–239);
+      // slice(fixed, 1, 0) = typed empty array of the same struct type
+      val tags = when(col("content").isNotNull,
+        transform(TE.detectTags(col("content")),
+          t => tr(blogId, "reference", concat(lit("tag:"), t), col("content_offset"))))
+        .otherwise(slice(fixed, 1, 0))
+      blogs.filter(col("valid"))
+        .select(col("doc_id"), explode(concat(fixed, tags)).as("t"))
+        .select(col("t.subj"), col("t.pred"), col("t.obj"),
+          col("t.doc_id"), col("t.span_offset"))
+        .filter(col("subj").isNotNull && col("obj").isNotNull)
+    }
 
-    val vc = comments.filter(col("valid"))
-    val cId = concat(lit("comment:"), col("cid"))
-    val cUser = vc.select(t(concat(lit("user:"), col("uid")), "create", cId): _*)
-    val cBlog = vc.select(t(cId, "comment", concat(lit("blog:"), col("mid"))): _*)
-    val cLike = vc.select(t(cId, "like_count", col("like").cast("string")): _*)
-    val cTime = vc.filter(col("time").isNotNull)
-      .select(t(cId, "at_time", col("time")): _*)
+    val c = {
+      val cId = concat(lit("comment:"), col("cid"))
+      val fixed = array(
+        tr(concat(lit("user:"), col("uid")), "create", cId, zero),
+        tr(cId, "comment", concat(lit("blog:"), col("mid")), zero),
+        tr(cId, "like_count", col("like"), zero),
+        // obj null when the comment has no time → filtered below
+        tr(cId, "at_time", col("time"), zero))
+      comments.filter(col("valid"))
+        .select(col("doc_id"), explode(fixed).as("t"))
+        .select(col("t.subj"), col("t.pred"), col("t.obj"),
+          col("t.doc_id"), col("t.span_offset"))
+        .filter(col("subj").isNotNull && col("obj").isNotNull)
+    }
 
-    Seq(create, uname, repost, rootKw, atTime, counters, tags,
-      cUser, cBlog, cLike, cTime).reduce(_ unionByName _)
+    b.unionByName(c)
   }
 }
