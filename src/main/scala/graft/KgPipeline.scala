@@ -45,15 +45,33 @@ object KgPipeline {
     // serializes local-mode tasks on the MemoryStore lock (measured: 3/32
     // threads busy during cache build). Only the small dim-side stages
     // (kb, canon_map) are checkpointed via `small()`.
-    def stage(name: String, upstream: Seq[String])(f: => DataFrame): DataFrame =
+    def stage(name: String, upstream: Seq[String],
+              counters: => Map[String, Long] = Map.empty)
+             (f: => DataFrame): DataFrame =
       io match {
-        case Some(t) => t.runOrResume(name, upstream)(f)
+        case Some(t) => t.runOrResume(name, upstream, counters)(f)
         case None => f
       }
     def small(df: DataFrame): DataFrame =
       if (io.isDefined) df else df.localCheckpoint()
 
-    val weibo = stage("weibo_triples", Seq.empty) {
+    // quarantine metrics — the dataflow image of the reference's println
+    // dead-letter paths (FromScrappyDump.kt:166, 179–182, 228–232, 296–299):
+    // counted per stage into the lineage manifest instead of logged
+    def weiboCounters: Map[String, Long] = {
+      val b = Normalize.blogs(docs).agg(
+        sum(when(!col("valid"), 1L).otherwise(0L)).as("invalid"),
+        sum(when(col("valid") && !col("time_ok"), 1L).otherwise(0L)).as("bad_time")
+      ).collect()(0)
+      val c = Normalize.comments(docs).agg(
+        sum(when(!col("valid"), 1L).otherwise(0L)).as("invalid")).collect()(0)
+      Map(
+        "blogs_skipped" -> Option(b.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        "blogs_bad_time" -> Option(b.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        "comments_skipped" -> Option(c.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+
+    val weibo = stage("weibo_triples", Seq.empty, weiboCounters) {
       WeiboTriples.emit(Normalize.blogs(docs), Normalize.comments(docs))
     }
 

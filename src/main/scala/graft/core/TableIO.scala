@@ -47,6 +47,15 @@ final class TableIO(spark: SparkSession, root: String) {
   def read(stage: String): DataFrame =
     spark.read.parquet(snapDir(stage, lastCommitted(stage)).toString)
 
+  /** Union of ALL committed snapshots of a stage (epoch-append semantics —
+    * the streaming layer appends one snapshot per micro-batch). */
+  def readAll(stage: String): DataFrame = {
+    val dirs = (0 to lastCommitted(stage)).map(k => snapDir(stage, k))
+      .filter(d => Files.exists(d.resolve("_manifest.json")))
+      .map(_.toString)
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Write a new snapshot: data first (to a temp dir), per-partition counts,
     * then the manifest via atomic rename — a crash at any point leaves the
     * previous snapshot as the committed one (idempotent resume). */
@@ -84,10 +93,14 @@ final class TableIO(spark: SparkSession, root: String) {
     spark.read.parquet(dir.toString)
   }
 
-  /** Run `f` only if the stage has no committed snapshot yet (resume skip). */
-  def runOrResume(stage: String, upstream: Seq[String] = Nil)(f: => DataFrame): DataFrame =
+  /** Run `f` only if the stage has no committed snapshot yet (resume skip).
+    * `counters` (quarantine/skip-reason metrics) are evaluated only on a
+    * fresh run and land in the manifest. */
+  def runOrResume(stage: String, upstream: Seq[String] = Nil,
+                  counters: => Map[String, Long] = Map.empty)
+                 (f: => DataFrame): DataFrame =
     if (hasCommitted(stage)) read(stage)
-    else commit(stage, f, upstream)
+    else commit(stage, f, upstream, counters)
 
   def manifest(stage: String): String =
     Files.readString(snapDir(stage, lastCommitted(stage)).resolve("_manifest.json"))

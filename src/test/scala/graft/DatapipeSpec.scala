@@ -1,0 +1,120 @@
+package graft
+
+import graft.datapipe.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data-pipeline operators: dedup family, ANN, text analysis,
+  * multimodal plumbing. */
+class DatapipeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog again and again yesterday"), // near dup
+    (3L, "completely different words about spark catalyst tungsten codegen shuffles"),
+    (4L, "the  quick brown fox jumps over the lazy dog again and again today")) // ws-normalized dup of 0
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized fingerprint") {
+    val g = Dedup.exactGroups(docs).as[(String, Long, Long)].collect()
+    val dupGroup = g.filter(_._2 >= 2)
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head._2 === 3) // docs 0, 1, 4 (whitespace-normalized)
+    assert(dupGroup.head._3 === 0) // min doc_id survives
+  }
+
+  test("minhash LSH finds the planted near-dup pair, not the unrelated doc") {
+    val cand = Dedup.lshCandidates(
+      Dedup.lshBands(docs, "doc_id", "text", numHashes = 8, bands = 4, w = 3))
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 1L))) // identical → all bands collide
+    assert(!cand.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc clean
+    // verify step: exact jaccard over candidates
+    val verified = Dedup.jaccardVerify(
+      cand.toSeq.toDF("id1", "id2"), docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(verified.exists(v => v._1 == 0L && v._2 == 1L && v._3 == 1.0))
+  }
+
+  test("simhash: near-dups at small hamming distance, unrelated far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 32).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) === 0)
+    assert(ham(sh(0L), sh(2L)) <= 6)
+    assert(ham(sh(0L), sh(3L)) > 6)
+  }
+
+  test("brute-force cosine top-k: deterministic, self-excluded, k-bounded") {
+    val embs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.9, 0.1, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)), (3L, Seq(0.0, 0.0, 1.0)))
+      .toDF("vec_id", "v")
+    val top = Similarity.bruteForceTopK(
+      embs.filter(col("vec_id") === 0), embs, "vec_id", "v", 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(top.map(_._2).toSeq === Seq(1L, 2L)) // nearest then next
+    assert(top.forall(_._2 != 0L))
+  }
+
+  test("LSH topk results are a subset-consistent ranking of brute force") {
+    val r = new java.util.Random(7)
+    val embs = (0L until 100L).map { i =>
+      (i, Seq.fill(16)(r.nextGaussian()))
+    }.toDF("vec_id", "v")
+    val lsh = Similarity.lshTopK(embs.filter(col("vec_id") < 5), embs,
+      "vec_id", "v", 3, planes = 4)
+    // every LSH hit shares the query's sign bucket and is correctly ranked
+    val rows = lsh.as[(Long, Long, Double, Int)].collect()
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("embedding near-dup blocking finds planted duplicate vector") {
+    val r = new java.util.Random(3)
+    val base = Seq.fill(16)(r.nextGaussian())
+    val embs = ((0L until 50L).map(i => (i, Seq.fill(16)(r.nextGaussian()))) :+
+      (100L, base) :+ (101L, base.map(_ * 1.001)))
+      .toDF("vec_id", "v")
+    val dups = Dedup.embeddingNearDups(embs, "vec_id", "v", 0.99, planes = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(dups.exists(d => d._1 == 100L && d._2 == 101L))
+  }
+
+  test("text stats / quality / langid expressions") {
+    val row = docs.filter(col("doc_id") === 0).select(
+      TextStats.tokenCount(col("text")).as("n"),
+      TextStats.stopwordCount(col("text")).as("sw"),
+      TextStats.langId(col("text")).as("lang"),
+      TextStats.qualityScore(col("text")).as("q"))
+      .collect()(0)
+    assert(row.getInt(0) === 13)
+    assert(row.getInt(1) === 3) // the, the, and
+    assert(row.getString(2) === "en")
+    assert(row.getDouble(3) > 0.5)
+    val zh = Seq("这是一段完全中文的文本内容用来测试语言识别启发式规则").toDF("text")
+      .select(TextStats.langId(col("text"))).collect()(0).getString(0)
+    assert(zh === "zh")
+  }
+
+  test("multimodal: feature extraction batch op + frame sampling") {
+    val media = Multimodal.mediaFromDocs(docs)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length === 5)
+    assert(feats.forall(_.feature.length === 8))
+    assert(feats.forall(f => f.n_bytes > 0))
+    // deterministic stub: same payload → same features
+    val f0 = feats.find(_.doc_id == 0L).get
+    val f1 = feats.find(_.doc_id == 1L).get
+    assert(f0.feature.toSeq === f1.feature.toSeq)
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.filter(col("frame_idx") === 0).count() ===
+      media.filter(col("kind") === "video").count())
+    assert(frames.filter(col("offset_ms") =!= col("frame_idx") * 1000).count() === 0)
+  }
+}

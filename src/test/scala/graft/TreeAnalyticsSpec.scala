@@ -1,0 +1,71 @@
+package graft
+
+import graft.stages.TreeAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixture tests for the tree kernel, mirroring the
+  * reference semantics (Blog.kt:25–145): placeholder parents become roots,
+  * per-level widths, set-deduplicated branching average. */
+class TreeAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // forest: r1 → {a, b}, a → c, c → d ; r2 isolated ; e → p (p never a mid)
+  private def edges = Seq(
+    ("r1", null.asInstanceOf[String]), ("a", "r1"), ("b", "r1"),
+    ("c", "a"), ("d", "c"), ("r2", null.asInstanceOf[String]), ("e", "p"))
+    .toDF("mid", "repost_id")
+
+  test("rootsAndLevels: roots incl. placeholder parents (Blog.kt:37–44)") {
+    val labels = TreeAnalytics.rootsAndLevels(edges)
+      .as[(String, String, Int)].collect().toSet
+    assert(labels === Set(
+      ("r1", "r1", 0), ("a", "r1", 1), ("b", "r1", 1), ("c", "r1", 2),
+      ("d", "r1", 3), ("r2", "r2", 0), ("p", "p", 0), ("e", "p", 1)))
+  }
+
+  test("treeDepths + depthHistogram (Blog.kt:69–78, BlogTreeAnalyze.kt:72)") {
+    val labels = TreeAnalytics.rootsAndLevels(edges)
+    val depths = TreeAnalytics.treeDepths(labels)
+      .as[(String, Int)].collect().toMap
+    assert(depths === Map("r1" -> 3, "r2" -> 0, "p" -> 1))
+    val hist = TreeAnalytics.depthHistogram(labels)
+      .as[(Int, Long)].collect().toMap
+    assert(hist === Map(0 -> 1, 1 -> 1, 3 -> 1))
+  }
+
+  test("diffusionWidth per level (Blog.kt:60–67)") {
+    val labels = TreeAnalytics.rootsAndLevels(edges)
+    val widths = TreeAnalytics.diffusionWidth(labels)
+      .filter(col("root") === "r1")
+      .as[(String, Int, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(widths === Map(0 -> 1L, 1 -> 2L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("averageNeighbors uses SET of child-counts (Blog.kt:128–145)") {
+    val labels = TreeAnalytics.rootsAndLevels(edges)
+    val avg = TreeAnalytics.averageNeighbors(edges, labels)
+      .as[(String, Int)].collect().toMap
+    // r1 child-counts: r1→2, a→1, c→1 → set {2,1} → avg 1.5 → toInt 1
+    assert(avg("r1") === 1)
+  }
+
+  test("pathsAtDistance renders step strings (Blog.kt:91–126)") {
+    val labels = TreeAnalytics.rootsAndLevels(edges)
+    val roots = labels.filter(col("level") === 0).select("mid")
+    val paths = TreeAnalytics.pathsAtDistance(edges, roots, 2)
+      .select("steps").as[String].collect().toSet
+    assert(paths === Set("r1, a, c"))
+    val paths1 = TreeAnalytics.pathsAtDistance(edges, roots, 1)
+      .select("steps").as[String].collect().toSet
+    assert(paths1 === Set("r1, a", "r1, b", "p, e"))
+  }
+
+  test("deepestLeaf (Blog.kt:80–89 longestPath endpoint)") {
+    val labels = TreeAnalytics.rootsAndLevels(edges)
+    val deep = TreeAnalytics.deepestLeaf(labels)
+      .as[(String, String, Int)].collect().toSet
+    assert(deep === Set(("r1", "d", 3), ("r2", "r2", 0), ("p", "e", 1)))
+  }
+}
