@@ -62,6 +62,26 @@ object SparkEntry {
       t(s, d, "events")
         .groupBy(floor(col("value") / 10).cast("int").as("tier"))
         .agg(count(lit(1)).as("n"))),
+    "q_agg_argmax" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority").agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"))),
+    "q_last_write_wins" -> ((s, d) => {
+      // S16 staging semantics: latest row per key in ingest order
+      val staged = graft.stages.Staging.lastWriteWins(
+        t(s, d, "documents").select("doc_id", "source", "lang"),
+        Seq("source"), "doc_id")
+      staged.select("source", "doc_id", "lang")
+    }),
+    "q_rlike_join" -> ((s, d) => {
+      // J8 regex theta-join (extentFunctions.kt:53–66 semantics, fixed):
+      // nations sharing a 2-letter name prefix
+      val a = t(s, d, "nation").select(col("n_name").as("name_a"))
+      val b = t(s, d, "nation").select(col("n_name").as("name_b"))
+      a.join(b, regexp_like(col("name_a"),
+          concat(lit("^"), substring(col("name_b"), 1, 2))) &&
+        col("name_a") =!= col("name_b"))
+    }),
 
     // ---- joins (J1–J5) -------------------------------------------------------
     "q_join_broadcast" -> ((s, d) =>
@@ -265,6 +285,15 @@ object SparkEntry {
         "round(max(o_totalprice), 2) AS max_price FROM orders GROUP BY 1"),
     "q_tier_histogram" ->
       "SELECT CAST(floor(value / 10) AS INT) AS tier, count(*) AS n FROM events GROUP BY 1",
+    "q_agg_argmax" ->
+      ("SELECT o_orderpriority, max_by(o_orderkey, o_totalprice) AS top_order, " +
+        "min_by(o_orderkey, o_totalprice) AS bottom_order FROM orders GROUP BY 1"),
+    "q_last_write_wins" ->
+      ("SELECT source, max_by(doc_id, doc_id) AS doc_id, max_by(lang, doc_id) AS lang " +
+        "FROM documents GROUP BY 1"),
+    "q_rlike_join" ->
+      ("SELECT a.n_name AS name_a, b.n_name AS name_b FROM nation a JOIN nation b " +
+        "ON regexp_matches(a.n_name, '^' || substr(b.n_name, 1, 2)) AND a.n_name <> b.n_name"),
     "q_join_broadcast" ->
       ("SELECT n_name AS nation, count(*) AS n_orders, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1) AS total " +

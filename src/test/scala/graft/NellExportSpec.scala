@@ -62,6 +62,37 @@ class NellExportSpec extends AnyFunSuite {
     assert(train2.count() === n1)
   }
 
+  test("episode export: qualifying roots only, paths at exact depth (G9)") {
+    import graft.stages.TreeAnalytics
+    // r1 (keyword 香港, depth 2) qualifies; r2 (depth 1) and r3 (unknown kw) don't
+    val edges = Seq(
+      ("r1", null.asInstanceOf[String]), ("a", "r1"), ("c", "a"),
+      ("r2", null.asInstanceOf[String]), ("b", "r2"),
+      ("r3", null.asInstanceOf[String]), ("d", "r3"), ("e", "d"))
+      .toDF("mid", "repost_id")
+    val rootsKw = Seq(("r1", "香港"), ("r2", "香港"), ("r3", "没见过的词"))
+      .toDF("mid", "keyword")
+    val labels = TreeAnalytics.rootsAndLevels(edges)
+    val eps = Export.episodes(edges, rootsKw, labels,
+      Map("political" -> Seq("香港", "国庆"), "entertainment" -> Seq("双11")),
+      depth = 2)
+      .as[(String, String)].collect().toSet
+    assert(eps === Set(("political", "r1, a, c")))
+  }
+
+  test("staging last-write-wins + flatten (WeiboManager.kt semantics)") {
+    import graft.stages.Staging
+    val rows = Seq((1L, "k1", "v1"), (2L, "k2", "v2"), (3L, "k1", "v3"))
+      .toDF("seq", "key", "value")
+    val lww = Staging.lastWriteWins(rows, Seq("key"), "seq")
+      .as[(Long, String, String)].collect().toSet
+    assert(lww === Set((3L, "k1", "v3"), (2L, "k2", "v2")))
+    val flat = Staging.flatten(
+      Seq(("k1", Seq(1, 2)), ("k2", Seq(3))).toDF("key", "vals"),
+      "key", "vals", "tid").as[(String, Int)].collect().toSet
+    assert(flat === Set(("k1", 1), ("k1", 2), ("k2", 3)))
+  }
+
   test("writeAll lands the five text sinks") {
     val out = Files.createTempDirectory("export").toString
     val triples = Seq(
