@@ -92,7 +92,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "1000000").toInt
-    val pairs = sys.env.getOrElse("SPARK_GRAFT_KG_PAIRS", "2").toInt
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_KG_PAIRS", "3").toInt
 
     val s1 = session(s"local[$cpus]", cpus)
     val results = headline.map { name =>
@@ -109,8 +109,10 @@ object Bench {
       val (sec1, n1) = timeKg(1, kgDocs)
       (sec1, sec4, n1, n4, ((n4 / sec4) / (n1 / sec1)) / 4.0)
     }
-    val best = samples.maxBy(_._5)
-    val (sec1, sec4, nT, _, eff) = (best._1, best._2, best._4, best._3, best._5)
+    // the VM's CPU-steal noise makes single pairs swing (occasionally past
+    // 1.0, which is an artifact) — report the MEDIAN pair
+    val med = samples.sortBy(_._5).apply(samples.size / 2)
+    val (sec1, sec4, nT, _, eff) = (med._1, med._2, med._4, med._3, med._5)
     val tput1 = nT / sec1
     val tput4 = nT / sec4
 
@@ -142,8 +144,10 @@ object Bench {
          || 1 executor × 2 cores | $sec1%.1f | $tput1%.0f |
          || 4 executors × 2 cores | $sec4%.1f | $tput4%.0f |
          |
-         |Scaling efficiency (tput_4N / tput_N) / 4 = **$eff%.3f** (target
-         |≥ 0.8, BASELINE.md). All sample pairs: ${samples.map(s => f"${s._5}%.3f").mkString(", ")}.
+         |Scaling efficiency (tput_4N / tput_N) / 4 = **$eff%.3f** — median of
+         |${samples.size} back-to-back pairs (all: ${samples.map(s => f"${s._5}%.3f").mkString(", ")});
+         |target ≥ 0.8, BASELINE.md. Pairs >1.0 are VM CPU-steal artifacts,
+         |which is why the median, not the best, is reported.
          |
          |## Headline query wall times (s) at local[$cpus], $sfDir
          |

@@ -32,12 +32,16 @@ object Dedup {
   }
 
   /** MinHash signature: per hash-function i, min over shingles of
-    * md5(i ∥ shingle). String-min over md5 hex is a valid permutation-min
-    * proxy AND is reproducible in any engine with md5 (oracle parity). */
-  def minhash(text: Column, numHashes: Int, w: Int = 3): Column =
+    * xxhash64(i ∥ shingle) — codegen'd, an order of magnitude cheaper than
+    * an md5 round per (hash, shingle). (The oracle-checked q_minhash query
+    * uses an md5 variant because external engines can reproduce md5; the
+    * LSH hot path uses the fast family.) */
+  def minhash(text: Column, numHashes: Int, w: Int = 3): Column = {
+    val sh = shingles(text, w)
     array((0 until numHashes).map { i =>
-      array_min(transform(shingles(text, w), s => md5(concat(lit(i.toString), s))))
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
     }: _*)
+  }
 
   /** LSH banding: split the signature into `bands` keys; docs sharing any
     * band key are near-dup candidates. Returns (id, band, key). */
@@ -48,8 +52,8 @@ object Dedup {
     docs.select(col(idCol).as("id"), sig.as("sig"))
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows))))))
-      .select(col("id"), col("pos").as("band"), md5(col("col")).as("key"))
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
   }
 
   /** Candidate near-dup pairs from LSH buckets (id1 < id2). The self-join is

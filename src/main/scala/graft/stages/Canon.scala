@@ -160,6 +160,48 @@ object Canon {
   def canonicalMap(kbTriples: DataFrame, categoryPred: String,
                    aliasPreds: Set[String],
                    ccDriverThreshold: Long = 0L): DataFrame = {
+    // fast path: the whole alias graph derives from the KB triples, which
+    // are dictionary-bounded — when they fit the driver, one collect
+    // replaces the label/blocking/CC dataflow (which remains the unbounded
+    // path and is parity-tested against this one in KgParitySpec)
+    if (ccDriverThreshold > 0 && kbTriples.count() <= ccDriverThreshold) {
+      val spark = kbTriples.sparkSession
+      import spark.implicits._
+      val rows = kbTriples.select("subj", "pred", "obj")
+        .as[(String, String, String)].collect()
+      val labelMap = scala.collection.mutable.HashMap[String, scala.collection.mutable.Set[String]]()
+      def addLabel(n: String, l: String): Unit =
+        labelMap.getOrElseUpdate(n, scala.collection.mutable.HashSet[String]()) += l
+      val religious = rows.collect {
+        case (s, p, o) if p == categoryPred && o == "宗教" => s }.toSet
+      rows.foreach { case (s, p, o) =>
+        if (p == categoryPred) addLabel(s, o)
+        addLabel(o, targetLabel(p, religious.contains(s)))
+      }
+      val names = labelMap.keySet.toVector.sorted
+      // the quadratic containment loop is only sane for small name sets;
+      // larger dictionaries use the bigram-blocked dataflow below
+      if (names.size <= 20000) {
+      val parent = scala.collection.mutable.HashMap[String, String]()
+      def find(x: String): String = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def union(a: String, b: String): Unit = {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      for (a <- names; b <- names)
+        if (a != b && b.length >= 2 && a.contains(b) &&
+          labelMap(b).subsetOf(labelMap(a))) union(a, b)
+      rows.foreach { case (s, p, o) => if (aliasPreds.contains(p)) union(s, o) }
+      return names.map(n => (n, find(n))).filter(x => x._1 != x._2)
+        .toDF("name", "comp")
+      }
+    }
+
     val labels = nodeLabels(kbTriples, categoryPred)
     val aliasEdges = kbTriples
       .filter(col("pred").isin(aliasPreds.toSeq: _*))
