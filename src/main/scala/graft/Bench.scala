@@ -13,8 +13,12 @@ import java.nio.file.{Files, Paths}
   *    (threads inside one JVM hit a shared allocation ceiling long before
   *    the CPUs do — measured; separate JVMs scale like separate executors).
   *    The measured job reads a pre-materialized parquet corpus (the real
-  *    job reads a lake, not an in-flight generator). Two pairs are run;
-  *    the JSON reports the best pair plus all samples.
+  *    job reads a lake, not an in-flight generator).
+  *
+  * Statistic: `pairs` wall times are collected PER SIDE and the MEDIAN of
+  * each side is used (eff = med_1exec / (4 × med_4exec)) — a single
+  * VM-CPU-steal outlier on either side then cannot drag the result the way
+  * a per-pair ratio can. All raw samples are reported alongside.
   *
   * Prints ONE JSON line; also refreshes BENCH.md.
   */
@@ -35,6 +39,10 @@ object Bench {
       .config("spark.executor.extraClassPath", classesDir)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // don't let the scheduler idle-wait for locality on a 4-JVM local
+      // cluster — delay scheduling is wall-clock noise at this scale
+      .config("spark.locality.wait", "0s")
       // corpus is ~100 MB, not 100 TB: proportional split size so scan
       // parallelism is set by the cluster, as the 128 MB default is at scale
       .config("spark.sql.files.maxPartitionBytes", "4m")
@@ -88,6 +96,11 @@ object Bench {
     } finally s.stop()
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
@@ -103,16 +116,21 @@ object Bench {
     }
     s1.stop()
 
-    // identical job + input at two cluster sizes (1 vs 4 executor JVMs)
+    // identical job + input at two cluster sizes (1 vs 4 executor JVMs),
+    // alternating sides so slow VM phases hit both sides alike
     val samples = (1 to pairs).map { _ =>
       val (sec4, n4) = timeKg(4, kgDocs)
       val (sec1, n1) = timeKg(1, kgDocs)
-      (sec1, sec4, n1, n4, ((n4 / sec4) / (n1 / sec1)) / 4.0)
+      // identical job + input ⇒ identical output; a mismatch is a
+      // correctness red flag the bench must not mask
+      require(n1 == n4, s"triple count diverged across cluster sizes: $n1 vs $n4")
+      (sec1, sec4, n1)
     }
-    // the VM's CPU-steal noise makes single pairs swing (occasionally past
-    // 1.0, which is an artifact) — report the MEDIAN pair
-    val med = samples.sortBy(_._5).apply(samples.size / 2)
-    val (sec1, sec4, nT, _, eff) = (med._1, med._2, med._4, med._3, med._5)
+    val nT = samples.head._3
+    val sec1 = median(samples.map(_._1))
+    val sec4 = median(samples.map(_._2))
+    // efficiency from per-side medians: (tput4 / tput1) / 4 = sec1/(4*sec4)
+    val eff = sec1 / (4.0 * sec4)
     val tput1 = nT / sec1
     val tput4 = nT / sec4
 
@@ -120,39 +138,45 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + samples.map(s => s._1 + s._2).sum
     val sampleJson = samples.map(s =>
-      f"""{"sec_1exec":${s._1}%.2f,"sec_4exec":${s._2}%.2f,"eff":${s._5}%.3f}""")
+      f"""{"sec_1exec":${s._1}%.2f,"sec_4exec":${s._2}%.2f}""")
       .mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$kgDocs,"kg_triples":$nT,"kg_triples_per_sec_1exec":$tput1%.1f,"kg_triples_per_sec_4exec":$tput4%.1f,"scaling_efficiency":$eff%.3f,"scaling_samples":$sampleJson}""")
 
-    val md =
-      f"""# BENCH — measured (this sandbox, Firecracker VM, 32 vCPU)
-         |
-         |## KG pipeline scaling: N vs 4N executors
-         |
-         |Same job (full KG construction: parquet scan → normalize → mention
-         |trie → KB expand → canonicalize → two-phase dedup), same input
-         |($kgDocs interleaved docs → $nT triples), at two cluster sizes:
-         |**1 vs 4 separate executor JVMs** (2 cores each) via
-         |`local-cluster` — the faithful stand-in for N vs 4N executors.
-         |(Threads inside one JVM share an allocation ceiling: a 32-thread
-         |JVM string workload aggregates only ~3× one thread, while 8
-         |separate JVMs aggregate ~8.7× — measured; so local[8] vs local[32]
-         |understates real multi-executor scaling.)
-         |
-         || cluster | wall (s) | triples/sec |
-         ||---|---|---|
-         || 1 executor × 2 cores | $sec1%.1f | $tput1%.0f |
-         || 4 executors × 2 cores | $sec4%.1f | $tput4%.0f |
-         |
-         |Scaling efficiency (tput_4N / tput_N) / 4 = **$eff%.3f** — median of
-         |${samples.size} back-to-back pairs (all: ${samples.map(s => f"${s._5}%.3f").mkString(", ")});
-         |target ≥ 0.8, BASELINE.md. Pairs >1.0 are VM CPU-steal artifacts,
-         |which is why the median, not the best, is reported.
-         |
-         |## Headline query wall times (s) at local[$cpus], $sfDir
-         |
-         |${results.map { case (k, v) => f"| $k | $v%.2f |" }.mkString("| query | sec |\n|---|---|\n", "\n", "")}
-         |""".stripMargin
-    try Files.writeString(Paths.get("BENCH.md"), md) catch { case _: Throwable => () }
+    // BENCH.md — assembled line-by-line (no stripMargin: generated table rows
+    // begin with '|', which stripMargin would eat)
+    val md = new StringBuilder
+    def line(s: String): Unit = { md.append(s).append('\n') }
+    line("# BENCH — measured (this sandbox, Firecracker VM, 32 vCPU)")
+    line("")
+    line("## KG pipeline scaling: N vs 4N executors")
+    line("")
+    line("Same job (full KG construction: parquet scan → normalize → mention")
+    line("trie → KB expand → canonicalize → two-phase dedup), same input")
+    line(s"($kgDocs interleaved docs → $nT triples), at two cluster sizes:")
+    line("**1 vs 4 separate executor JVMs** (2 cores each) via")
+    line("`local-cluster` — the faithful stand-in for N vs 4N executors.")
+    line("(Threads inside one JVM share an allocation ceiling: a 32-thread")
+    line("JVM string workload aggregates only ~3× one thread, while 8")
+    line("separate JVMs aggregate ~8.7× — measured; so local[8] vs local[32]")
+    line("understates real multi-executor scaling.)")
+    line("")
+    line("| cluster | wall (s, median) | triples/sec |")
+    line("|---|---|---|")
+    line(f"| 1 executor × 2 cores | $sec1%.1f | $tput1%.0f |")
+    line(f"| 4 executors × 2 cores | $sec4%.1f | $tput4%.0f |")
+    line("")
+    line(f"Scaling efficiency (tput_4N / tput_N) / 4 = **$eff%.3f**, from the")
+    line(s"per-side MEDIANS of ${samples.size} alternating runs each")
+    line(s"(1-exec walls: ${samples.map(s => f"${s._1}%.1f").mkString(", ")} s;")
+    line(s"4-exec walls: ${samples.map(s => f"${s._2}%.1f").mkString(", ")} s);")
+    line("target ≥ 0.8 (BASELINE.md). Per-side medians rather than per-pair")
+    line("ratios: a single VM CPU-steal outlier then cannot drag the result.")
+    line("")
+    line(s"## Headline query wall times (s) at local[$cpus], $sfDir")
+    line("")
+    line("| query | sec |")
+    line("|---|---|")
+    results.foreach { case (k, v) => line(f"| $k | $v%.2f |") }
+    try Files.writeString(Paths.get("BENCH.md"), md.toString) catch { case _: Throwable => () }
   }
 }

@@ -28,6 +28,7 @@ object KgScale {
       // cluster size, exactly as the default 128 MB does on a real lake
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

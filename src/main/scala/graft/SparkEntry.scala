@@ -22,7 +22,7 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   // shared corpus config for the KG queries (independent of sfDir)
-  private val kgCfg = Corpus.Config(nDocs = 1200, nEntities = 120, seed = 42L)
+  private[graft] val kgCfg = Corpus.Config(nDocs = 1200, nEntities = 120, seed = 42L)
 
   // several queries expose different outputs of the same pipeline run —
   // memoize per session so Verify/Bench don't re-run it per query
@@ -204,23 +204,19 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         Dedup.simhash(col("text"), bits = 16).as("simhash"))),
     "q_jaccard_pairs" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("doc_id") < 120)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      val a = docs.toDF("id1", "toks1")
-      val b = docs.toDF("id2", "toks2")
-      a.join(b, col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          round(size(array_intersect(col("toks1"), col("toks2"))).cast("double") /
-            size(array_union(col("toks1"), col("toks2"))).cast("double"), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.7)
+      // the scale-path composition: LSH blocking → exact Jaccard verify
+      // (never an all-pairs product)
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBandsMd5(docs, "doc_id", "text", 8, 4, 3), maxBucket = 64)
+      Dedup.jaccardVerify(cands, docs, "doc_id", "text", 0.7)
     }),
-    "q_lsh_candidates" -> ((s, d) => {
-      // synthetic texts draw from a ~40-word vocab, so band collisions are
-      // far denser than real corpora — cap the input so the intra-bucket
-      // pair product stays representative rather than quadratic-degenerate
-      val docs = t(s, d, "documents").filter(col("doc_id") < 1500)
-      Dedup.lshCandidates(Dedup.lshBands(docs, "doc_id", "text", 8, 4, 3))
-    }),
+    "q_lsh_candidates" -> ((s, d) =>
+      // md5 hash family (oracle-reproducible); the bucket-size guard makes
+      // the UNCAPPED input tractable even on the dense synthetic vocab
+      Dedup.lshCandidates(
+        Dedup.lshBandsMd5(t(s, d, "documents"), "doc_id", "text", 8, 4, 3),
+        maxBucket = 64)),
 
     // ---- training-data ops: embeddings ---------------------------------------
     "q_embed_topk" -> ((s, d) => {
@@ -250,15 +246,43 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("mime"),
           octet_length(col("payload")).as("n_bytes"))),
     "q_media_features" -> ((s, d) =>
+      // the stub features are exact stride byte sums — emit f0 as an exact
+      // integer so the DuckDB oracle can recompute it from hex(payload)
       Multimodal.extractFeatures(s, Multimodal.mediaFromDocs(t(s, d, "documents")))
         .toDF().select(col("doc_id"), col("kind"), col("n_bytes"),
-          round(col("feature")(0), 4).as("f0"))),
+          col("feature")(0).cast("long").as("f0"))),
     "q_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocs(t(s, d, "documents")))),
 
-    // ---- KG pipeline on its own corpus (rows-only; P/R gate is in sbt test) ---
+    // ---- KG pipeline on its own corpus (DuckDB oracles in KgOracleSql read
+    // the corpus tables Verify materializes; the P/R gate is in sbt test) ---
     "q_kg_triples" -> ((s, _) => kgOutputs(s).triples),
-    "q_kg_vertices" -> ((s, _) => kgOutputs(s).vertices),
+    "q_kg_vertices" -> ((s, _) =>
+      // portable surface: md5 id (DuckDB lacks xxhash64) and a sortable
+      // scalar labels column (the driver's canonicalizer can't sort arrays)
+      kgOutputs(s).vertices.select(md5(col("name")).as("vertex_id"),
+        col("name"), concat_ws(",", col("labels")).as("labels_s"))),
+    "q_kg_tree_graph" -> ((s, _) => {
+      // BlogTreeInNeo4j main from the planted hot root
+      val docs = CorpusData.docsDF(s, kgCfg)
+      TreeGraph.edges(
+        Normalize.blogs(docs).filter(col("valid")),
+        Normalize.comments(docs).filter(col("valid")),
+        Seq(Corpus.codedMid(0, 0)))
+    }),
+    "q_episodes" -> ((s, _) => {
+      val docs = CorpusData.docsDF(s, kgCfg)
+      val blogs = Normalize.blogs(docs).filter(col("valid"))
+      val edges = blogs.select("mid", "repost_id")
+      Export.episodesFull(edges,
+        blogs.filter(col("keyword").isNotNull).select("mid", "keyword"),
+        TreeAnalytics.rootsAndLevels(edges),
+        Export.graphEntityIds(kgOutputs(s).triples))
+    }),
+    "q_longest_path" -> ((s, _) => {
+      val e = blogEdges(s)
+      TreeAnalytics.longestPath(e, TreeAnalytics.rootsAndLevels(e))
+    }),
     "q_kg_canon_map" -> ((s, _) => {
       val dict = CorpusData.ment2entDF(s, kgCfg)
       val mentions = Mentions.detect(s, KgPipeline.textSpans(CorpusData.docsDF(s, kgCfg)),
@@ -384,14 +408,18 @@ object SparkEntry {
         "b AS (SELECT doc_id, i AS bit, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote " +
         "FROM h, unnest(generate_series(0, 15)) AS u(i) GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1"),
+    "q_lsh_candidates" -> lshCandidatesSql,
     "q_jaccard_pairs" ->
-      ("WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents WHERE doc_id < 120) " +
-        "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+      (lshCtes +
+        ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM bk a JOIN ok USING (band, key) " +
+        "JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+        "jt AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents), " +
+        "sc AS (SELECT c.id1, c.id2, " +
         "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
         "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard " +
-        "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
-        "WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
-        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7"),
+        "FROM cand c JOIN jt a ON c.id1 = a.doc_id JOIN jt b ON c.id2 = b.doc_id) " +
+        "SELECT id1, id2, jaccard FROM sc WHERE jaccard >= 0.7"),
     "q_embed_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5), " +
         "c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 1000), " +
@@ -407,6 +435,68 @@ object SparkEntry {
     "q_frame_sample" ->
       ("SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS offset_ms FROM documents, " +
         "unnest(generate_series(0, least(octet_length(encode(text)) // 100, 30))) AS u(i) " +
-        "WHERE doc_id % 3 = 2")
-  )
+        "WHERE doc_id % 3 = 2"),
+    "q_media_features" ->
+      ("WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "encode(text) AS payload FROM documents), " +
+        "b AS (SELECT doc_id, kind, octet_length(payload) AS n_bytes, hex(payload) AS h FROM m), " +
+        "f AS (SELECT doc_id, kind, n_bytes, " +
+        "coalesce(sum(CASE WHEN u.i <= n_bytes AND (u.i - 1) % 8 = 0 " +
+        "THEN ('0x' || substr(h, (u.i - 1) * 2 + 1, 2))::INT ELSE 0 END), 0) AS f0 " +
+        "FROM b CROSS JOIN unnest(generate_series(1, greatest(n_bytes, 1))) AS u(i) GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, kind, n_bytes, CAST(f0 AS BIGINT) AS f0 FROM f"),
+    "q_embed_neardup" ->
+      ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500), " +
+        embedBucketCtes(4) +
+        ", pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM bkt a " +
+        "JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
+        "sc AS (SELECT p.id1, p.id2, " +
+        "round(list_dot_product(e1.v, e2.v) / (sqrt(list_dot_product(e1.v, e1.v)) * sqrt(list_dot_product(e2.v, e2.v))), 6) AS cos " +
+        "FROM pr p JOIN emb e1 ON p.id1 = e1.vec_id JOIN emb e2 ON p.id2 = e2.vec_id) " +
+        "SELECT id1, id2, cos FROM sc WHERE cos >= 0.3"),
+    "q_embed_lsh_topk" ->
+      ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        embedBucketCtes(8) +
+        ", q AS (SELECT b.vec_id AS query_id, e.v AS qv, b.bucket FROM bkt b " +
+        "JOIN emb e ON b.vec_id = e.vec_id WHERE b.vec_id < 20), " +
+        "c AS (SELECT b.vec_id AS id, e.v, b.bucket FROM bkt b JOIN emb e ON b.vec_id = e.vec_id), " +
+        "sc AS (SELECT q.query_id, c.id, " +
+        "round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos " +
+        "FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.id), " +
+        "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc) " +
+        "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3")
+  ) ++ graft.oracle.KgOracleSql.all
+
+  /** md5-family LSH banding + bucket-size guard over `documents` — shared by
+    * the q_lsh_candidates and q_jaccard_pairs oracles (mirrors
+    * Dedup.lshBandsMd5 + lshCandidates(maxBucket = 64)). */
+  private def lshCtes: String =
+    "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 " +
+      "THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) " +
+      "ELSE [array_to_string(toks, ' ')] END AS shingles FROM t), " +
+      "sg AS (SELECT doc_id, h.i AS hi, min(md5(CAST(h.i AS VARCHAR) || '|' || u.s)) AS mh " +
+      "FROM sh CROSS JOIN unnest(shingles) AS u(s) " +
+      "CROSS JOIN unnest(generate_series(0, 7)) AS h(i) GROUP BY 1, 2), " +
+      "bk AS (SELECT doc_id, CAST(hi // 2 AS INT) AS band, " +
+      "md5(string_agg(mh, '|' ORDER BY hi)) AS key FROM sg GROUP BY 1, 2), " +
+      "ok AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 64)"
+
+  private def lshCandidatesSql: String =
+    lshCtes + " SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+      "FROM bk a JOIN ok USING (band, key) " +
+      "JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+
+  /** Deterministic md5-hyperplane sign buckets over `emb(vec_id, v)` —
+    * mirrors Similarity.signBucket. */
+  private def embedBucketCtes(planes: Int): String =
+    "ex AS (SELECT vec_id, u.i - 1 AS d, v[u.i] AS x FROM emb " +
+      "CROSS JOIN unnest(generate_series(1, len(v))) AS u(i)), " +
+      "dims AS (SELECT DISTINCT d FROM ex), " +
+      s"ps AS (SELECT p.p, dims.d, CASE WHEN ('0x' || substr(md5(CAST(p.p AS VARCHAR) || '_' || CAST(dims.d AS VARCHAR)), 1, 6))::BIGINT % 2 = 0 " +
+      "THEN 1.0 ELSE -1.0 END AS sgn " +
+      s"FROM (SELECT unnest(generate_series(0, ${planes - 1})) AS p) p CROSS JOIN dims), " +
+      "dots AS (SELECT e.vec_id, s.p, sum(e.x * s.sgn) AS dot FROM ex e JOIN ps s ON e.d = s.d GROUP BY 1, 2), " +
+      "bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket FROM dots GROUP BY 1)"
 }

@@ -10,11 +10,19 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the KG/tree oracles recompute the queries in DuckDB from the corpus
+    // tables materialized here (raw spans/dims + engine-normalized rows)
+    try graft.oracle.OracleInputs.materialize(spark, SparkEntry.kgCfg)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] oracle-input materialize failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

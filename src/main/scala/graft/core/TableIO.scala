@@ -29,16 +29,21 @@ final class TableIO(spark: SparkSession, root: String) {
   private def snapDir(stage: String, k: Int): Path =
     stageDir(stage).resolve(s"snapshot-$k")
 
-  /** Last snapshot id with a committed manifest, or -1. */
+  /** Last snapshot id with a committed manifest, or -1. Runs on every
+    * read/commit, so the directory stream must be closed — a leaked fd per
+    * micro-batch would exhaust the open-file limit on long streams. */
   def lastCommitted(stage: String): Int = {
     val d = stageDir(stage)
     if (!Files.exists(d)) return -1
-    Files.list(d).iterator.asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") &&
-        Files.exists(d.resolve(s).resolve("_manifest.json")) =>
-        s.stripPrefix("snapshot-").toInt }
-      .foldLeft(-1)(math.max)
+    val listing = Files.list(d)
+    try
+      listing.iterator.asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snapshot-") &&
+          Files.exists(d.resolve(s).resolve("_manifest.json")) =>
+          s.stripPrefix("snapshot-").toInt }
+        .foldLeft(-1)(math.max)
+    finally listing.close()
   }
 
   def hasCommitted(stage: String): Boolean = lastCommitted(stage) >= 0
@@ -54,6 +59,24 @@ final class TableIO(spark: SparkSession, root: String) {
       .filter(d => Files.exists(d.resolve("_manifest.json")))
       .map(_.toString)
     spark.read.parquet(dirs: _*)
+  }
+
+  /** Union of the committed snapshots AFTER `fromExclusive` (bounded-recency
+    * reads — the streaming layer's per-batch dedup joins the compacted key
+    * snapshot plus only the epochs committed since the last compaction). */
+  def readRange(stage: String, fromExclusive: Int): DataFrame = {
+    val dirs = (fromExclusive + 1 to lastCommitted(stage)).map(k => snapDir(stage, k))
+      .filter(d => Files.exists(d.resolve("_manifest.json")))
+      .map(_.toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** A counter value from the latest committed manifest of a stage. */
+  def counterOf(stage: String, name: String): Option[Long] = {
+    if (!hasCommitted(stage)) return None
+    val m = manifest(stage)
+    ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?\\d+)").r
+      .findFirstMatchIn(m).map(_.group(1).toLong)
   }
 
   /** Write a new snapshot: data first (to a temp dir), per-partition counts,

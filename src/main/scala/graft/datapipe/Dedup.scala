@@ -43,6 +43,17 @@ object Dedup {
     }: _*)
   }
 
+  /** MinHash signature in the md5 family — one string hash per function,
+    * reproducible by any external engine (the DuckDB oracle recomputes it
+    * verbatim). ~10× the cost of the xxhash64 family; use for oracle-checked
+    * surfaces, keep [[minhash]] for the 100 TB hot path. */
+  def minhashMd5(text: Column, numHashes: Int, w: Int = 3): Column = {
+    val sh = shingles(text, w)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(i.toString), lit("|"), s))))
+    }: _*)
+  }
+
   /** LSH banding: split the signature into `bands` keys; docs sharing any
     * band key are near-dup candidates. Returns (id, band, key). */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
@@ -56,12 +67,35 @@ object Dedup {
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
   }
 
+  /** md5-family banding (same shape, string keys) — the band key is the md5
+    * of the '|'-joined signature slice, so the whole chain is engine-portable. */
+  def lshBandsMd5(docs: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int = 8, bands: Int = 4, w: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashMd5(col(textCol), numHashes, w)
+    docs.select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows)))))))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+  }
+
   /** Candidate near-dup pairs from LSH buckets (id1 < id2). The self-join is
-    * an equi-join on (band, key) — at scale bucket sizes stay small, so the
-    * intra-bucket pair product is bounded. */
-  def lshCandidates(bandsDf: DataFrame): DataFrame = {
-    val a = bandsDf.toDF("id1", "band", "key")
-    val b = bandsDf.toDF("id2", "band", "key")
+    * an equi-join on (band, key); `maxBucket` guards the intra-bucket pair
+    * product: a boilerplate-heavy bucket (site chrome, license headers, a
+    * degenerate shingle) otherwise goes QUADRATIC — one hot band key becomes
+    * the job's straggler at 100 TB. Buckets above the cap are dropped (their
+    * members collide on other, more selective bands; an oversized bucket is
+    * boilerplate, not near-duplication signal). The guard is a two-phase
+    * count aggregate — no window, no skewed exchange. */
+  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val ok = bandsDf.groupBy("band", "key")
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket)
+      .select("band", "key")
+    val pruned = bandsDf.join(ok, Seq("band", "key"))
+    val a = pruned.toDF("band", "key", "id1")
+    val b = pruned.toDF("band", "key", "id2")
     a.join(b, Seq("band", "key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()

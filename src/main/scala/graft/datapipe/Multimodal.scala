@@ -37,13 +37,15 @@ object Multimodal {
 
   /** === STUB ===  Real implementation would decode payload with an image /
     * audio codec and run a feature extractor. Deterministic fake: 8 floats
-    * derived from byte sums over 8 strides. The partitioning/batching
-    * contract (one pass, no shuffle, arrow-friendly batch shape) is what's
-    * under test. */
+    * derived from byte sums over 8 strides — the sums are exact integers
+    * (< 2^24, exactly representable in Float), so any external engine can
+    * reproduce them bit-for-bit (the DuckDB oracle recomputes them from
+    * hex(payload)). The partitioning/batching contract (one pass, no
+    * shuffle, arrow-friendly batch shape) is what's under test. */
   def decodeStub(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
     val out = new Array[Float](dims)
     var i = 0
-    while (i < bytes.length) { out(i % dims) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+    while (i < bytes.length) { out(i % dims) += (bytes(i) & 0xff); i += 1 }
     out
   }
 

@@ -131,6 +131,7 @@ object Canon {
 
     var changed = 1L
     var iter = 0
+    var prevCached: DataFrame = null
     while (changed > 0) {
       // min over neighbors' components; two-phase (salted) aggregate so a
       // hot node with 10^8 neighbors never lands on one reducer.
@@ -149,8 +150,17 @@ object Canon {
         if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint()
         else next.cache()
       changed = materialized.filter(col("comp") =!= col("old_comp")).count()
+      // the previous iteration's cache is superseded the moment the new one
+      // is materialized — unpersist it, or a long CC run accumulates every
+      // iteration in the MemoryStore
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = if ((iter + 1) % checkpointEvery == 0) null else materialized
       comp = materialized.select("name", "comp")
       iter += 1
+    }
+    if (prevCached != null) {
+      comp = comp.localCheckpoint() // detach the result from the cache...
+      prevCached.unpersist()        // ...then release the final iteration
     }
     comp
   }

@@ -20,6 +20,14 @@ object TreeAnalytics {
     * Output: (mid, root, level) for every node, including placeholder
     * parents that never appeared as a mid themselves — the reference turns
     * those into roots (Blog.kt:37–44; FromScrappyDump.kt:263–268).
+    *
+    * Skew note: the corpus plants a hot root owning ~30% of all reposts, so
+    * the per-level frontier join on the parent key is skewed. While the
+    * frontier fits the broadcast threshold Catalyst broadcasts it (no
+    * key-partitioned exchange → no skew exposure); when both sides are
+    * exchange-sized, AQE's skew-join split handles the hot key — every
+    * session builder in this repo enables
+    * `spark.sql.adaptive.skewJoin.enabled`.
     */
   def rootsAndLevels(blogEdges: DataFrame, maxDepth: Int = 64): DataFrame = {
     val e = blogEdges.select(col("mid"), col("repost_id")).cache()
@@ -47,8 +55,10 @@ object TreeAnalytics {
         .join(frontier.select(col("mid").as("parent"), col("root")), Seq("parent"))
         .select(col("mid"), col("root"), lit(level + 1).as("level"))
         // a mid can repost several parents in the dump; reference addChild
-        // keeps it under each parent but identity is mid-only — keep first
-        .dropDuplicates("mid")
+        // keeps it under each parent but identity is mid-only — the surviving
+        // (root, level) must be DETERMINISTIC (min root at this level), not
+        // whichever partition finished first
+        .groupBy("mid").agg(min("root").as("root"), min("level").as("level"))
         .join(labeled.select("mid"), Seq("mid"), "left_anti")
         .localCheckpoint()
       if (next.isEmpty) growing = false
@@ -101,7 +111,13 @@ object TreeAnalytics {
     * "mid, mid, …" step strings (Blog.kt:91–126; depth cap 5,
     * DumpGraphToText.kt:264–267). Iterative path extension with an
     * array<string> column. */
-  def pathsAtDistance(blogEdges: DataFrame, roots: DataFrame, distance: Int): DataFrame = {
+  def pathsAtDistance(blogEdges: DataFrame, roots: DataFrame, distance: Int): DataFrame =
+    pathsArrayAtDistance(blogEdges, roots, distance)
+      .select(col("root"), col("tip"), concat_ws(", ", col("path")).as("steps"))
+
+  /** Same walk, path kept as an array<string> of mids (episode export needs
+    * the elements to interleave relation ids — DumpGraphToText.kt:272–281). */
+  def pathsArrayAtDistance(blogEdges: DataFrame, roots: DataFrame, distance: Int): DataFrame = {
     require(distance <= 5, "reference caps episode depth at 5 (DumpGraphToText.kt:264)")
     val child2parent = blogEdges.filter(col("repost_id").isNotNull)
       .select(col("mid"), col("repost_id").as("parent"))
@@ -115,7 +131,7 @@ object TreeAnalytics {
           concat(col("path"), array(col("mid"))).as("path"))
         .localCheckpoint()
     }
-    paths.select(col("root"), col("tip"), concat_ws(", ", col("path")).as("steps"))
+    paths.select("root", "tip", "path")
   }
 
   /** G4 — deepest chain endpoint per root (Blog.kt:80–89's longestPath tip;
@@ -126,5 +142,34 @@ object TreeAnalytics {
     labels.join(depths, Seq("root"))
       .filter(col("level") === col("depth"))
       .groupBy("root").agg(min("mid").as("leaf"), max("level").as("depth"))
+  }
+
+  /** G4 (full) — the root→leaf mid CHAIN of each tree's longest path
+    * (Blog.kt:80–89 returns the whole path, recursing into the deepest
+    * child). The reference's maxBy over a HashSet is order-nondeterministic;
+    * here the tie-break is the smallest mid at the deepest level, and the
+    * chain is recovered by walking UP from that leaf — O(depth) joins, each
+    * on the (small) one-row-per-root frontier. Output: (root, depth, path)
+    * with path = "root, …, leaf". */
+  def longestPath(blogEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val parentOf = blogEdges.filter(col("repost_id").isNotNull)
+      .select(col("mid"), col("repost_id").as("parent"))
+    val maxDepth = labels.agg(max("level")).collect()(0).getInt(0)
+    var walk = deepestLeaf(labels)
+      .select(col("root"), col("depth"), col("leaf").as("cur"),
+        array(col("leaf")).as("path"))
+    (0 until maxDepth).foreach { _ =>
+      walk = walk
+        .join(parentOf.withColumnRenamed("mid", "cur"), Seq("cur"), "left")
+        .select(col("root"), col("depth"),
+          // stop climbing once the root is reached (parent null or at root)
+          when(col("cur") === col("root"), col("cur"))
+            .otherwise(coalesce(col("parent"), col("cur"))).as("next"),
+          when(col("cur") =!= col("root") && col("parent").isNotNull,
+            concat(array(col("parent")), col("path"))).otherwise(col("path")).as("path"))
+        .withColumnRenamed("next", "cur")
+        .localCheckpoint()
+    }
+    walk.select(col("root"), col("depth"), concat_ws(", ", col("path")).as("path"))
   }
 }

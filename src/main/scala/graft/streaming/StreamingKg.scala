@@ -42,22 +42,57 @@ object StreamingKg {
       .agg(min(col("doc_id")).as("doc_id"), min(col("span_offset")).as("span_offset"))
   }
 
+  private val keyCols = Seq("subj", "pred", "obj")
+
   /** Start the incremental ingestion query. `tableDir` accumulates epoch
-    * snapshots under stage `stream_triples`. */
+    * snapshots under stage `stream_triples`.
+    *
+    * Per-batch dedup joins against a COMPACTED key snapshot (stage
+    * `committed_keys`, narrow 3-column parquet) plus only the ≤`compactEvery`
+    * epochs committed since the last compaction — NOT the union of every
+    * epoch ever landed. The per-batch plan therefore has a bounded number of
+    * inputs (one sequential columnar key scan + a bounded epoch tail) instead
+    * of a file list that grows with history; every `compactEvery` batches the
+    * tail is folded into a fresh key snapshot (amortized O(total)/C). At lake
+    * scale the compacted key table is the layout to bucket by key hash for
+    * join co-location; exact global dedup cannot scan less than the key set. */
   def start(spark: SparkSession, docsStream: DataFrame, ment2ent: DataFrame,
-            avpair: DataFrame, tableDir: String, checkpointDir: String): StreamingQuery = {
+            avpair: DataFrame, tableDir: String, checkpointDir: String,
+            compactEvery: Int = 4): StreamingQuery = {
     val io = new TableIO(spark, tableDir)
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val fresh = batchTriples(spark, batch, ment2ent, avpair)
-        val novel =
-          if (io.hasCommitted("stream_triples"))
-            fresh.join(io.readAll("stream_triples"),
-              Seq("subj", "pred", "obj"), "left_anti")
-          else fresh
+        val covered = io.counterOf("committed_keys", "covers_epochs")
+          .getOrElse(-1L).toInt
+        val last = io.lastCommitted("stream_triples")
+        val compacted =
+          if (io.hasCommitted("committed_keys")) Some(io.read("committed_keys"))
+          else None
+        val recentTail =
+          if (last > covered)
+            Some(io.readRange("stream_triples", covered)
+              .select(keyCols.map(col): _*))
+          else None
+        val committedKeys = (compacted.toSeq ++ recentTail.toSeq)
+          .reduceOption(_ unionByName _)
+        val novel = committedKeys
+          .fold(fresh)(k => fresh.join(k, keyCols, "left_anti"))
         io.commit("stream_triples", novel,
           counters = Map("batch_id" -> batchId))
+        // fold the epoch tail into the key snapshot every compactEvery epochs
+        val newLast = io.lastCommitted("stream_triples")
+        if (newLast - covered >= compactEvery) {
+          // epochs are pairwise disjoint by construction (each was
+          // anti-joined against everything before it) — plain union IS the
+          // distinct key set
+          val newKeys = (compacted.toSeq :+
+            io.readRange("stream_triples", covered).select(keyCols.map(col): _*))
+            .reduce(_ unionByName _)
+          io.commit("committed_keys", newKeys,
+            counters = Map("covers_epochs" -> newLast.toLong))
+        }
         ()
       }
       .start()

@@ -80,6 +80,29 @@ class NellExportSpec extends AnyFunSuite {
     assert(eps === Set(("political", "r1, a, c")))
   }
 
+  test("episodesFull: interleaved (id, rel-id, id) arrays + analyze pairs (G9)") {
+    import graft.stages.TreeAnalytics
+    // r1 (political keyword 香港, tree depth 2) qualifies → one path r1,a,c;
+    // r2 (depth 1) and r3 (keyword outside the shipped tables) don't
+    val edges = Seq(
+      ("r1", null.asInstanceOf[String]), ("a", "r1"), ("c", "a"), ("b", "r1"),
+      ("r2", null.asInstanceOf[String]), ("b2", "r2"),
+      ("r3", null.asInstanceOf[String]), ("d", "r3"), ("e", "d"))
+      .toDF("mid", "repost_id")
+    val rootsKw = Seq(("r1", "香港"), ("r2", "香港"), ("r3", "没见过的词"))
+      .toDF("mid", "keyword")
+    val ids = Seq(("blog:r1", 5), ("blog:a", 1), ("blog:c", 3), ("blog:b", 7))
+      .toDF("name", "ent_id")
+    val labels = TreeAnalytics.rootsAndLevels(edges)
+    val eps = Export.episodesFull(edges, rootsKw, labels, ids)
+    val rows = eps.as[(Int, Int, Int, String)].collect().toSet
+    // interleaved with repost rel id 2; political rid = 12
+    assert(rows === Set((5, 3, 12, "5,2,1,2,3")))
+    val analyze = Export.analyzeGraph(eps)
+      .as[(Int, Int, Int)].collect().toSet
+    assert(analyze === Set((5, 3, 12), (3, 5, 13))) // forward + _inv
+  }
+
   test("staging last-write-wins + flatten (WeiboManager.kt semantics)") {
     import graft.stages.Staging
     val rows = Seq((1L, "k1", "v1"), (2L, "k2", "v2"), (3L, "k1", "v3"))

@@ -52,4 +52,39 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, String, String)].collect().toSet
     assert(landed.toSet === batchRaw)
   }
+
+  test("long run: key compaction bounds the per-batch dedup inputs") {
+    val cfg10 = Corpus.Config(nDocs = 200, nEntities = 60, seed = 7L)
+    val all = Corpus.docs(cfg10).toVector
+    val m2e = CorpusData.ment2entDF(spark, cfg10)
+    val av = CorpusData.avpairDF(spark, cfg10)
+    val tableDir = Files.createTempDirectory("stream-table10").toString
+    val ckpt = Files.createTempDirectory("stream-ckpt10").toString
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = StreamingKg.start(spark, stream.toDF(), m2e, av, tableDir, ckpt,
+      compactEvery = 3)
+    // 10 micro-batches, each overlapping the previous (re-delivery pattern)
+    all.grouped(20).take(10).zipWithIndex.foreach { case (chunk, i) =>
+      stream.addData(if (i == 0) chunk else all.slice(i * 20 - 10, i * 20) ++ chunk)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val io = new graft.core.TableIO(spark, tableDir)
+    // compaction ran and covers all but a bounded epoch tail
+    val covered = io.counterOf("committed_keys", "covers_epochs").get
+    val last = io.lastCommitted("stream_triples")
+    assert(covered >= last - 3,
+      s"key snapshot lags: covers $covered of $last epochs")
+    // exact global dedup held across all 10 epochs
+    val landed = StreamingKg.landed(spark, tableDir)
+      .select("subj", "pred", "obj")
+      .as[(String, String, String)].collect()
+    assert(landed.length === landed.toSet.size)
+    val batchRaw = StreamingKg.batchTriples(spark,
+      CorpusData.docsDF(spark, cfg10), m2e, av)
+      .select("subj", "pred", "obj")
+      .as[(String, String, String)].collect().toSet
+    assert(landed.toSet === batchRaw)
+  }
 }

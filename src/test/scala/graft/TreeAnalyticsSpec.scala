@@ -68,4 +68,20 @@ class TreeAnalyticsSpec extends AnyFunSuite {
       .as[(String, String, Int)].collect().toSet
     assert(deep === Set(("r1", "d", 3), ("r2", "r2", 0), ("p", "e", 1)))
   }
+
+  test("longestPath returns the full root→leaf mid CHAIN (Blog.kt:80–89)") {
+    val labels = TreeAnalytics.rootsAndLevels(edges)
+    val paths = TreeAnalytics.longestPath(edges, labels)
+      .as[(String, Int, String)].collect().toSet
+    assert(paths === Set(
+      ("r1", 3, "r1, a, c, d"), ("r2", 0, "r2"), ("p", 1, "p, e")))
+    // deterministic tie-break: smallest mid among equally-deep leaves
+    val tied = Seq(
+      ("t", null.asInstanceOf[String]), ("x", "t"), ("y", "t"))
+      .toDF("mid", "repost_id")
+    val tiedLabels = TreeAnalytics.rootsAndLevels(tied)
+    val p = TreeAnalytics.longestPath(tied, tiedLabels)
+      .as[(String, Int, String)].collect().toSet
+    assert(p === Set(("t", 1, "t, x")))
+  }
 }
