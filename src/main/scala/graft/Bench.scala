@@ -110,8 +110,11 @@ object Bench {
     val s1 = session(s"local[$cpus]", cpus)
     val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(s1, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      // noop sink, not count(): count() lets Catalyst PRUNE every projected
+      // column, so a projection-heavy query would time an empty scan
+      try { SparkEntry.queries(name)(s1, sfDir)
+        .write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     s1.stop()

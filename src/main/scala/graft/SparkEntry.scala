@@ -194,15 +194,19 @@ object SparkEntry {
         .groupBy(TextStats.langId(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n"))),
     "q_minhash" -> ((s, d) => {
+      // explode + two-phase min-agg, not a per-row HOF (see Dedup.minhashSigs)
       val toks = split(col("text"), " ")
       val nSh = greatest(size(toks) - 2, lit(1))
-      def mh(salt: String) = array_min(transform(sequence(lit(1), nSh),
-        i => md5(concat(lit(salt), concat_ws(" ", slice(toks, i, lit(3)))))))
-      t(s, d, "documents").select(col("doc_id"), mh("0").as("mh0"), mh("1").as("mh1"))
+      val sh = transform(sequence(lit(1), nSh),
+        i => concat_ws(" ", slice(toks, i, lit(3))))
+      t(s, d, "documents").select(col("doc_id"), explode(sh).as("s3"))
+        .groupBy("doc_id")
+        .agg(min(md5(concat(lit("0"), col("s3")))).as("mh0"),
+          min(md5(concat(lit("1"), col("s3")))).as("mh1"))
     }),
     "q_simhash" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        Dedup.simhash(col("text"), bits = 16).as("simhash"))),
+      Dedup.simhashAgg(t(s, d, "documents"), "doc_id", "text", bits = 16)
+        .select(col("id").as("doc_id"), col("simhash"))),
     "q_jaccard_pairs" -> ((s, d) => {
       // the scale-path composition: LSH blocking → exact Jaccard verify
       // (never an all-pairs product)
@@ -230,6 +234,13 @@ object SparkEntry {
       val embs = t(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       Similarity.lshTopK(embs.filter(col("vec_id") < 20), embs, "vec_id", "v", 3)
+    }),
+    "q_embed_multiprobe" -> ((s, d) => {
+      // multi-probe OR-amplification: probe all 1-bit-flip buckets too
+      val embs = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.lshTopK(embs.filter(col("vec_id") < 20), embs, "vec_id", "v", 3,
+        planes = 8, probes = 1)
     }),
     "q_embed_neardup" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
@@ -460,6 +471,19 @@ object SparkEntry {
         embedBucketCtes(8) +
         ", q AS (SELECT b.vec_id AS query_id, e.v AS qv, b.bucket FROM bkt b " +
         "JOIN emb e ON b.vec_id = e.vec_id WHERE b.vec_id < 20), " +
+        "c AS (SELECT b.vec_id AS id, e.v, b.bucket FROM bkt b JOIN emb e ON b.vec_id = e.vec_id), " +
+        "sc AS (SELECT q.query_id, c.id, " +
+        "round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos " +
+        "FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.id), " +
+        "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc) " +
+        "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3"),
+    "q_embed_multiprobe" ->
+      ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        embedBucketCtes(8) +
+        ", q AS (SELECT b.vec_id AS query_id, e.v AS qv, xor(b.bucket, f.f) AS bucket " +
+        "FROM bkt b JOIN emb e ON b.vec_id = e.vec_id " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) f " +
+        "WHERE b.vec_id < 20), " +
         "c AS (SELECT b.vec_id AS id, e.v, b.bucket FROM bkt b JOIN emb e ON b.vec_id = e.vec_id), " +
         "sc AS (SELECT q.query_id, c.id, " +
         "round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos " +

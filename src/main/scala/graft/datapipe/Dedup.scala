@@ -31,36 +31,39 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: per hash-function i, min over shingles of
-    * xxhash64(i ∥ shingle) — codegen'd, an order of magnitude cheaper than
-    * an md5 round per (hash, shingle). (The oracle-checked q_minhash query
-    * uses an md5 variant because external engines can reproduce md5; the
-    * LSH hot path uses the fast family.) */
-  def minhash(text: Column, numHashes: Int, w: Int = 3): Column = {
-    val sh = shingles(text, w)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
-  }
+  /** MinHash signatures, (id, sig array<long>), xxhash64 family.
+    *
+    * SHAPE MATTERS: higher-order functions (transform/aggregate) are
+    * INTERPRETED — no codegen, no common-subexpression elimination — so a
+    * per-row `array(min(transform(shingles…)) × numHashes)` expression
+    * re-builds the shingle array once per hash function per row (measured
+    * 26 s for 5 000 docs). Instead: explode shingles ONCE, hash each with
+    * codegen'd scalar functions, and min-reduce with a two-phase hash
+    * aggregate — identical math, map-side-combined shuffle of one narrow
+    * row per doc. */
+  def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
+                  numHashes: Int, w: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
+      .groupBy("id")
+      .agg(array((0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
 
-  /** MinHash signature in the md5 family — one string hash per function,
-    * reproducible by any external engine (the DuckDB oracle recomputes it
-    * verbatim). ~10× the cost of the xxhash64 family; use for oracle-checked
-    * surfaces, keep [[minhash]] for the 100 TB hot path. */
-  def minhashMd5(text: Column, numHashes: Int, w: Int = 3): Column = {
-    val sh = shingles(text, w)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(i.toString), lit("|"), s))))
-    }: _*)
-  }
+  /** md5-family signatures, (id, sig array<string>) — every hash is
+    * reproducible by an external engine (the DuckDB oracle recomputes the
+    * chain verbatim). */
+  def minhashSigsMd5(docs: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int, w: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
+      .groupBy("id")
+      .agg(array((0 until numHashes).map(i =>
+        min(md5(concat(lit(i.toString), lit("|"), col("sh"))))): _*).as("sig"))
 
   /** LSH banding: split the signature into `bands` keys; docs sharing any
     * band key are near-dup candidates. Returns (id, band, key). */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
                numHashes: Int = 8, bands: Int = 4, w: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhash(col(textCol), numHashes, w)
-    docs.select(col(idCol).as("id"), sig.as("sig"))
+    minhashSigs(docs, idCol, textCol, numHashes, w)
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
@@ -72,33 +75,46 @@ object Dedup {
   def lshBandsMd5(docs: DataFrame, idCol: String, textCol: String,
                   numHashes: Int = 8, bands: Int = 4, w: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashMd5(col(textCol), numHashes, w)
-    docs.select(col(idCol).as("id"), sig.as("sig"))
+    minhashSigsMd5(docs, idCol, textCol, numHashes, w)
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows)))))))
       .select(col("id"), col("pos").as("band"), col("col").as("key"))
   }
 
-  /** Candidate near-dup pairs from LSH buckets (id1 < id2). The self-join is
-    * an equi-join on (band, key); `maxBucket` guards the intra-bucket pair
-    * product: a boilerplate-heavy bucket (site chrome, license headers, a
-    * degenerate shingle) otherwise goes QUADRATIC — one hot band key becomes
-    * the job's straggler at 100 TB. Buckets above the cap are dropped (their
-    * members collide on other, more selective bands; an oversized bucket is
-    * boilerplate, not near-duplication signal). The guard is a two-phase
-    * count aggregate — no window, no skewed exchange. */
+  /** Candidate near-dup pairs from LSH buckets (id1 < id2). `maxBucket`
+    * guards the intra-bucket pair product: a boilerplate-heavy bucket (site
+    * chrome, license headers, a degenerate shingle) otherwise goes
+    * QUADRATIC — one hot band key becomes the job's straggler at 100 TB.
+    * Buckets above the cap are dropped (their members collide on other,
+    * more selective bands; an oversized bucket is boilerplate, not
+    * near-duplication signal).
+    *
+    * Shape: the narrow (id, band, key) stream is materialized ONCE
+    * (localCheckpoint — at lake scale this is the staging table you'd
+    * bucket by key hash), the count guard is a two-phase aggregate, and
+    * pairs are expanded IN PLACE from cap-bounded bucket arrays — one
+    * shuffle on (band, key), no self-join, no recomputation of the
+    * signature pipeline per join side. */
   def lshCandidates(bandsDf: DataFrame, maxBucket: Int = 64): DataFrame = {
-    val ok = bandsDf.groupBy("band", "key")
+    val b = bandsDf.localCheckpoint()
+    val ok = b.groupBy("band", "key")
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket)
       .select("band", "key")
-    val pruned = bandsDf.join(ok, Seq("band", "key"))
-    val a = pruned.toDF("band", "key", "id1")
-    val b = pruned.toDF("band", "key", "id2")
-    a.join(b, Seq("band", "key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    // the post-guard groupBy reuses the join's (band, key) partitioning —
+    // one exchange; collect_list is bounded by maxBucket
+    val buckets = b.join(ok, Seq("band", "key"))
+      .groupBy("band", "key").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(least(x, y).as("id1"), greatest(x, y).as("id2"))))))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
   }
 
   // ---- SimHash ----------------------------------------------------------------
@@ -120,6 +136,28 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash as a dataflow — same math as [[simhash]], but the per-token
+    * vote loop runs as explode → codegen'd scalar hash → ONE two-phase hash
+    * aggregate (the expression form is an interpreted HOF that re-walks the
+    * token array once per bit per row; see [[minhashSigs]]). Returns
+    * (id, simhash). */
+  def simhashAgg(docs: DataFrame, idCol: String, textCol: String,
+                 bits: Int = 32): DataFrame = {
+    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    docs.select(col(idCol).as("id"),
+        explode(TextStats.tokens(col(textCol))).as("tok"))
+      .select(col("id"), h.as("h"))
+      .groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
 
   // ---- n-gram Jaccard ----------------------------------------------------------
 

@@ -50,13 +50,28 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: only corpus vectors in the query's sign bucket are
-    * scored. Same output shape as bruteForceTopK; recall < 1 by design. */
+    * scored. Same output shape as bruteForceTopK; recall < 1 by design.
+    * `probes` > 0 adds multi-probe OR-amplification: each query also probes
+    * the buckets at Hamming distance ≤ `probes` bit-flips of its own (the
+    * standard recall recovery — a near neighbor that landed one hyperplane
+    * away is still found), trading a (planes choose probes)-fold fan-out of
+    * the SMALL query side — the corpus is still scanned once and joined on
+    * the bucket key. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), planes).as("bucket"))
+              vecCol: String, k: Int, planes: Int = 8,
+              probes: Int = 0): DataFrame = {
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), planes).as("bucket0"))
+    // probe set: the exact bucket plus single-bit flips (probes=1), etc.
+    val flips: Seq[Column] = lit(0L) +: (if (probes >= 1)
+      (0 until planes).map(p => lit(1L << p)) else Seq.empty)
+    val q = q0.select(col("query_id"), col("qv"),
+      explode(array_distinct(array(flips.map(f =>
+        col("bucket0").bitwiseXOR(f)): _*))).as("bucket"))
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       signBucket(col(vecCol), planes).as("bucket"))
+    // a corpus vector has exactly ONE bucket and the probe set is distinct,
+    // so each (query, corpus) pair matches at most once — no dedup needed
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),

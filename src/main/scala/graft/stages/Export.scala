@@ -175,4 +175,24 @@ object Export {
     episodes.select(col("from_id"), col("to_id"), col("rid").as("rel_id"))
       .unionByName(episodes.select(col("to_id").as("from_id"),
         col("from_id").as("to_id"), (col("rid") + 1).as("rel_id")))
+
+  /** Full DumpGraphToText main parity: the five graph sinks, plus
+    * episodes.json and train/test pairs split from the ANALYZE set (the
+    * reference splits analyzeSet, not the whole graph —
+    * DumpGraphToText.kt:341). */
+  def writeAllWithEpisodes(spark: SparkSession, triples: DataFrame,
+                           blogEdges: DataFrame, rootsKw: DataFrame,
+                           labels: DataFrame, outDir: String): Unit = {
+    writeAll(spark, triples, outDir)
+    val eps = episodesFull(blogEdges, rootsKw, labels,
+      graphEntityIds(triples)).cache()
+    eps.coalesce(1).write.mode("overwrite").json(s"$outDir/episodes")
+    val (train, test) = trainTestSplit(analyzeGraph(eps))
+    train.coalesce(1).write.mode("overwrite")
+      .option("sep", "\t").csv(s"$outDir/train_pairs_analyze")
+    test.coalesce(1).write.mode("overwrite")
+      .option("sep", "\t").csv(s"$outDir/test_pairs_analyze")
+    eps.unpersist()
+    ()
+  }
 }

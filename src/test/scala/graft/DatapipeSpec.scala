@@ -75,6 +75,26 @@ class DatapipeSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH recovers recall lost to single-probe bucketing") {
+    val r = new java.util.Random(11)
+    val embs = (0L until 200L).map { i =>
+      (i, Seq.fill(16)(r.nextGaussian()))
+    }.toDF("vec_id", "v")
+    val queries = embs.filter(col("vec_id") < 20)
+    def hits(probes: Int) = Similarity.lshTopK(queries, embs, "vec_id", "v",
+      3, planes = 6, probes = probes)
+      .as[(Long, Long, Double, Int)].collect()
+    val single = hits(0)
+    val multi = hits(1)
+    // multi-probe candidate set is a strict superset per query → at least as
+    // many results, and per-query best cosine can only improve
+    assert(multi.length >= single.length)
+    val bestS = single.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val bestM = multi.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    bestS.foreach { case (q, s) => assert(bestM(q) >= s) }
+    assert(multi.length > single.length) // with 6 planes / 200 vecs it must actually widen
+  }
+
   test("embedding near-dup blocking finds planted duplicate vector") {
     val r = new java.util.Random(3)
     val base = Seq.fill(16)(r.nextGaussian())

@@ -127,4 +127,26 @@ class NellExportSpec extends AnyFunSuite {
       assert(new java.io.File(s"$out/$d").exists(), d)
     assert(spark.read.option("sep", "\t").csv(s"$out/relation2id").count() === 14)
   }
+
+  test("writeAllWithEpisodes lands episodes.json + analyze-set pairs") {
+    import graft.stages.TreeAnalytics
+    val out = Files.createTempDirectory("export-ep").toString
+    val edges = Seq(
+      ("r1", null.asInstanceOf[String]), ("a", "r1"), ("c", "a"))
+      .toDF("mid", "repost_id")
+    val rootsKw = Seq(("r1", "香港")).toDF("mid", "keyword")
+    val triples = Seq(
+      ("root:香港", "keyword", "blog:r1", "d0", 0),
+      ("blog:r1", "repost", "blog:a", "d1", 0),
+      ("blog:a", "repost", "blog:c", "d2", 0))
+      .toDF("subj", "pred", "obj", "doc_id", "span_offset")
+    Export.writeAllWithEpisodes(spark, triples, edges, rootsKw,
+      TreeAnalytics.rootsAndLevels(edges), out)
+    val eps = spark.read.json(s"$out/episodes")
+    assert(eps.count() === 1)
+    val row = eps.select("from_id", "to_id", "rid", "path")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(row._3 === 12) // political
+    assert(row._4.split(",").length === 5) // id, rel, id, rel, id
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.datapipe.Dedup
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the shapes that decide 100 TB behavior:
+  * filters reach the parquet scan, column pruning holds, dimension joins
+  * broadcast, candidate generation never degenerates to a nested-loop /
+  * cartesian product, and the hot paths stay inside whole-stage codegen. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection are pushed into the parquet scan") {
+    val p = plan(SparkEntry.queries("q_scan_filter_project")(spark, sf))
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("GreaterThan(l_quantity") || p.contains("IsNotNull(l_quantity"),
+      s"quantity predicate not pushed:\n$p")
+    // pruned ReadSchema: untouched wide columns must not be read
+    assert(!p.contains("l_comment"), "column pruning failed — l_comment read")
+  }
+
+  test("dimension join plans as a broadcast hash join") {
+    val p = plan(SparkEntry.queries("q_join_broadcast")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"nation dim not broadcast:\n$p")
+  }
+
+  test("LSH candidate generation is an equi-join — never nested-loop/cartesian") {
+    val docs = Seq((0L, "a b c d e f"), (1L, "a b c d e g"), (2L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val p = plan(Dedup.lshCandidates(
+      Dedup.lshBandsMd5(docs, "doc_id", "text", 8, 4, 3), maxBucket = 64))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"LSH candidates degenerated to a product join:\n$p")
+  }
+
+  test("embedding near-dup blocking joins on the bucket key, no product") {
+    val embs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)))
+      .toDF("vec_id", "v")
+    val p = plan(Dedup.embeddingNearDups(embs, "vec_id", "v", 0.5, planes = 4))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"near-dup blocking degenerated to a product join:\n$p")
+  }
+
+  test("exact-dedup hot path stays inside whole-stage codegen") {
+    // fingerprint (trim/regexp_replace/lower/md5) + two-phase HashAggregate
+    // must all live in codegen stages ("*(n)" spans); lambda higher-order
+    // expressions (quality score) are interpreted by design — they run in a
+    // single narrow pass where the scan dominates
+    val df = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    df.collect() // materialize THIS QueryExecution's AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no whole-stage-codegen span:\n$p")
+    assert(p.contains("HashAggregate"), s"dedup not a hash aggregate:\n$p")
+  }
+}
