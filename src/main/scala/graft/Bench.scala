@@ -82,9 +82,12 @@ object Bench {
         s.sharedState.cacheManager.clearCache()
         n
       }
-      // small untimed warmup for JIT/codegen
-      val warmCfg = Corpus.Config(nDocs = 5000)
-      val warmPath = ensureCorpus(s, 5000)
+      // untimed warmup for JIT/codegen — fresh executor JVMs per cluster
+      // size, so each measured run would otherwise pay cold-JIT on its
+      // own wall (the 4-exec side's shorter wall suffers relatively more,
+      // depressing measured efficiency)
+      val warmCfg = Corpus.Config(nDocs = 20000)
+      val warmPath = ensureCorpus(s, 20000)
       KgPipeline.run(s, s.read.parquet(warmPath),
         CorpusData.ment2entDF(s, warmCfg), CorpusData.avpairDF(s, warmCfg),
         shufflePartitions = executors * cores, dimFastPaths = true)
@@ -118,6 +121,18 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     s1.stop()
+
+    // prewarm the OS page cache for the measured corpus — the first
+    // cluster-size sample otherwise reads the parquet cold from disk and
+    // lands as a one-sided outlier
+    locally {
+      val warm = session(s"local[$cpus]", cpus)
+      try {
+        ensureCorpus(warm, kgDocs)
+        warm.read.parquet(s"$corpusCache-$kgDocs.parquet")
+          .write.format("noop").mode("overwrite").save()
+      } finally warm.stop()
+    }
 
     // identical job + input at two cluster sizes (1 vs 4 executor JVMs),
     // alternating sides so slow VM phases hit both sides alike

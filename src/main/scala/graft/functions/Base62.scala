@@ -41,6 +41,14 @@ object Base62 {
   def decodeCodedMid(coded: String): String =
     codedRanges.map(r => fromCustomBase(coded.substring(r.head, r.last + 1))).mkString
 
+  // UTF8String entry points — called from the generated code of the native
+  // EncodeMid/DecodeMid expressions (Base62Expr.scala), so the codec runs
+  // inside the whole-stage-codegen span with no row boxing.
+  def encodeMidUTF8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(encodeMid(s.toString))
+  def decodeMidUTF8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(decodeCodedMid(s.toString))
+
   val encodeMidUdf = udf((s: String) => if (s == null) null else encodeMid(s))
   val decodeMidUdf = udf((s: String) => if (s == null) null else decodeCodedMid(s))
 
@@ -49,6 +57,8 @@ object Base62 {
     spark.udf.register("decode_mid", decodeMidUdf)
   }
 
-  def encode_mid(c: Column): Column = encodeMidUdf(c)
-  def decode_mid(c: Column): Column = decodeMidUdf(c)
+  /** Native-expression column surfaces (UDF forms kept only for SQL
+    * registration parity). */
+  def encode_mid(c: Column): Column = Base62Expr.encodeMid(c)
+  def decode_mid(c: Column): Column = Base62Expr.decodeMid(c)
 }
