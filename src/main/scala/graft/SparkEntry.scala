@@ -170,6 +170,13 @@ object SparkEntry {
         .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))),
+    "q_event_windows" -> ((s, d) =>
+      // the streaming windowed-agg operator, oracle-checked on batch
+      graft.streaming.Windowed.eventCounts(t(s, d, "events"), "ts", "event_type")),
+    "q_sessionize" -> ((s, d) =>
+      // gap-based sessionization (batch twin of the stateful stream op)
+      graft.streaming.Sessionize.sessionsBatch(t(s, d, "events"),
+        "event_type", "ts", gapSec = 3600)),
 
     // ---- training-data ops: text ---------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -189,6 +196,9 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextStats.qualityScore(col("text")).as("quality"))),
+    "q_subword_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextStats.subwordCount(col("text")).as("n_subwords"))),
     "q_langid" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy(TextStats.langId(col("text")).as("lang_pred"))
@@ -381,6 +391,17 @@ object SparkEntry {
     "q_time_buckets" ->
       ("SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, count(*) AS n, " +
         "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value FROM events GROUP BY 1"),
+    "q_event_windows" ->
+      ("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, " +
+        "event_type, count(*) AS n FROM events GROUP BY 1, 2"),
+    "q_sessionize" ->
+      ("WITH o AS (SELECT event_type AS key, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events), " +
+        "b AS (SELECT key, ts, CASE WHEN lag(ts) OVER (PARTITION BY key ORDER BY ts) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY key ORDER BY ts) > 3600 THEN 1 ELSE 0 END AS brk FROM o), " +
+        "s AS (SELECT key, ts, CAST(sum(brk) OVER (PARTITION BY key ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid FROM b) " +
+        "SELECT key, sid, min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n " +
+        "FROM s GROUP BY 1, 2"),
     "q_dedup_exact" ->
       ("SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, " +
         "count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1"),
@@ -399,6 +420,10 @@ object SparkEntry {
         "least(CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) " +
         "/ greatest(len(toks), 1) * 4.0, 1.0) * 0.4 + " +
         "(1.0 - least(CAST(punct AS DOUBLE) / greatest(n, 1) * 10.0, 1.0)) * 0.2, 4) AS quality FROM s"),
+    "q_subword_count" ->
+      ("SELECT doc_id, CAST(sum(CAST(ceil(length(w) / 4.0) AS INT)) AS INT) AS n_subwords " +
+        "FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents) " +
+        "GROUP BY 1"),
     "q_langid" ->
       ("WITH s AS (SELECT length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
         "greatest(length(text), 1) AS n, " +

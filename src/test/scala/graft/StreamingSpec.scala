@@ -53,6 +53,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.toSet === batchRaw)
   }
 
+  test("stateful sessionization: stream (flatMapGroupsWithState) ≡ batch windows") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.{Ev, Session}
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // key A: two sessions (gap 60s exceeded between 70 and 400);
+    // key B: one session; the final 10_000-sec event advances the
+    // watermark far enough to close everything emitted below
+    val evs = Seq(
+      Ev("A", t(10)), Ev("A", t(40)), Ev("A", t(70)),
+      Ev("B", t(100)),
+      Ev("A", t(400)), Ev("A", t(430)))
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val out = Sessionize.sessionsStream(stream.toDS(), gapSec = 60)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    stream.addData(evs)
+    q.processAllAvailable()
+    stream.addData(Seq(Ev("C", t(10000)))) // watermark jump → timeouts fire
+    q.processAllAvailable()
+    stream.addData(Seq(Ev("C", t(20000)))) // close C's first event too
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions").as[Session].collect()
+      .map(s => (s.key, s.start_ts, s.end_ts, s.n)).toSet
+    assert(streamed.contains(("A", 10L, 70L, 3L)))
+    assert(streamed.contains(("A", 400L, 430L, 2L)))
+    assert(streamed.contains(("B", 100L, 100L, 1L)))
+
+    // batch twin on the same rows agrees (modulo the late open C session)
+    val batchDf = evs.map(e => (e.key, e.ts)).toDF("k", "ts")
+    val batch = Sessionize.sessionsBatch(batchDf, "k", "ts", 60)
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(s => (s._1, s._3, s._4, s._5)).toSet
+    assert(batch === streamed.filter(_._1 != "C"))
+  }
+
+  test("watermarked tumbling windows finalize in append mode") {
+    import graft.streaming.Windowed
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = Windowed.eventCounts(
+      stream.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      windowLen = "1 hour", watermark = "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+    stream.addData(Seq((t(600), "x"), (t(1200), "x"), (t(1800), "y")))
+    q.processAllAvailable()
+    // advance the watermark past hour-0 + 10 min → hour-0 windows finalize
+    stream.addData(Seq((t(3600 + 1200), "x")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wincounts")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows === Set((0L, "x", 2L), (0L, "y", 1L)))
+  }
+
   test("long run: key compaction bounds the per-batch dedup inputs") {
     val cfg10 = Corpus.Config(nDocs = 200, nEntities = 60, seed = 7L)
     val all = Corpus.docs(cfg10).toVector
