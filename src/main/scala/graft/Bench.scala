@@ -29,7 +29,8 @@ object Bench {
     "q_union_dedup", "q_window_topk", "q_selfjoin_adjacent",
     "q_explode_tokens", "q_time_buckets", "q_dedup_exact", "q_minhash",
     "q_simhash", "q_quality_score", "q_jaccard_pairs", "q_embed_topk",
-    "q_lsh_candidates")
+    "q_lsh_candidates", "q_embed_multiprobe", "q_sessionize",
+    "q_event_windows")
 
   private def session(master: String, parts: Int): SparkSession = {
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath

@@ -186,7 +186,11 @@ object Export {
     writeAll(spark, triples, outDir)
     val eps = episodesFull(blogEdges, rootsKw, labels,
       graphEntityIds(triples)).cache()
-    eps.coalesce(1).write.mode("overwrite").json(s"$outDir/episodes")
+    // episodes.json rows mirror the reference's map shape incl. the
+    // one-path-per-episode `paths` nesting (DumpGraphToText.kt:283-290)
+    eps.select(col("from_id"), col("to_id"), col("rid"),
+        array(transform(split(col("path"), ","), _.cast("int"))).as("paths"))
+      .coalesce(1).write.mode("overwrite").json(s"$outDir/episodes")
     val (train, test) = trainTestSplit(analyzeGraph(eps))
     train.coalesce(1).write.mode("overwrite")
       .option("sep", "\t").csv(s"$outDir/train_pairs_analyze")

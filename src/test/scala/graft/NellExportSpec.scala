@@ -144,9 +144,10 @@ class NellExportSpec extends AnyFunSuite {
       TreeAnalytics.rootsAndLevels(edges), out)
     val eps = spark.read.json(s"$out/episodes")
     assert(eps.count() === 1)
-    val row = eps.select("from_id", "to_id", "rid", "path")
-      .as[(Long, Long, Long, String)].collect().head
+    val row = eps.select("from_id", "to_id", "rid", "paths")
+      .as[(Long, Long, Long, Seq[Seq[Long]])].collect().head
     assert(row._3 === 12) // political
-    assert(row._4.split(",").length === 5) // id, rel, id, rel, id
+    assert(row._4.length === 1) // one path list per episode row
+    assert(row._4.head.length === 5) // id, rel, id, rel, id interleave
   }
 }
