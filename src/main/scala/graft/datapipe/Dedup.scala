@@ -179,15 +179,12 @@ object Dedup {
 
   // ---- embedding cosine ----------------------------------------------------------
 
-  /** Cosine similarity of two float-array columns — zip_with dot product,
-    * fixed left-to-right summation (deterministic). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two double-array columns — native codegen'd
+    * expression (functions/VectorOps.CosineSim): one primitive loop per
+    * pair instead of three interpreted higher-order folds. Left-to-right
+    * accumulation, deterministic, bit-identical to the HOF formulation. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
 
   /** Embedding near-dup pairs above a cosine threshold, blocked by an LSH
     * sign-bucket (random-hyperplane sketch) so candidate generation is an

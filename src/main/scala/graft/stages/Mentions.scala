@@ -22,7 +22,7 @@ object Mentions {
   /** Minimal prefix-trie for multi-pattern containment matching. */
   final class Trie extends Serializable {
     private val root = new Node
-    final class Node {
+    final class Node extends Serializable {
       val children = new mutable.HashMap[Char, Node]
       var word: String = null
     }
@@ -62,15 +62,18 @@ object Mentions {
 
   /** (doc_id, offset, text) spans → (doc_id, span_offset, mention) rows.
     * Typed flatMap over a broadcast trie (SURVEY.md §7.5 — the one
-    * mapPartitions-class operator; everything around it stays relational). */
+    * mapPartitions-class operator; everything around it stays relational).
+    * The trie is BUILT ONCE on the driver and broadcast built — a real
+    * dictionary is millions of entries, and a per-task rebuild would repeat
+    * the construction once per partition per stage. */
   def detect(spark: SparkSession, textSpans: DataFrame, dict: Seq[String]): DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(dict)
+    val bc = spark.sparkContext.broadcast(buildTrie(dict))
     val out = textSpans
       .select(col("doc_id"), col("span_offset").cast("int"), col("text"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
-        val trie = buildTrie(bc.value) // built once per task from broadcast
+        val trie = bc.value
         it.flatMap { case (docId, off, text) =>
           trie.matches(text).iterator.map(m => (docId, off, m))
         }
