@@ -252,6 +252,13 @@ object SparkEntry {
       Similarity.lshTopK(embs.filter(col("vec_id") < 20), embs, "vec_id", "v", 3,
         planes = 8, probes = 1)
     }),
+    "q_embed_ivf" -> ((s, d) => {
+      // IVF cell-probe ANN (deterministic seed centroids; k-means slots in)
+      val embs = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.ivfTopK(embs.filter(col("vec_id") < 20), embs, "vec_id", "v", 3,
+        nCentroids = 16, nProbe = 2)
+    }),
     "q_embed_neardup" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
         .filter(col("vec_id") < 500)
@@ -500,6 +507,22 @@ object SparkEntry {
         "sc AS (SELECT q.query_id, c.id, " +
         "round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos " +
         "FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.id), " +
+        "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc) " +
+        "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3"),
+    "q_embed_ivf" ->
+      ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16), " +
+        "asg AS (SELECT vec_id AS id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid) AS rn " +
+        "FROM emb e CROSS JOIN cent c) WHERE rn = 1), " +
+        "prb AS (SELECT vec_id AS query_id, v AS qv, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid) AS rn " +
+        "FROM emb e CROSS JOIN cent c WHERE e.vec_id < 20) WHERE rn <= 2), " +
+        "sc AS (SELECT p.query_id, a.id, " +
+        "round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos " +
+        "FROM prb p JOIN asg a USING (cid) WHERE p.query_id <> a.id), " +
         "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc) " +
         "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3"),
     "q_embed_multiprobe" ->

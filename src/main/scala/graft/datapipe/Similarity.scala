@@ -81,4 +81,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
+    * (one broadcast-join pass — the inverted-file build); each query scores
+    * only the `nProbe` centroid cells nearest to it. Centroid TRAINING is
+    * deliberately a deterministic seed rule (the first `nCentroids` corpus
+    * ids) — a k-means loop slots in where `centroids` is built, and the
+    * cell-assignment / multi-cell-probe / rank plumbing here is the part
+    * that must scale. Similarity values are rounded to 6 before argmax, so
+    * the assignment is engine-portable (the DuckDB oracle reproduces it).
+    * Output shape matches [[bruteForceTopK]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int = 16,
+              nProbe: Int = 2): DataFrame = {
+    val cent = broadcast(corpus
+      .filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    def nearestCells(df: DataFrame, id: String, vec: String, n: Int) = {
+      val w = Window.partitionBy(id)
+        .orderBy(col("csim").desc, col("cid").asc)
+      df.join(cent, lit(true)) // every vector × the SMALL broadcast centroid dim
+        .select(col(id), col(vec), col("cid"),
+          round(Dedup.cosine(col(vec), col("cv")), 6).as("csim"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("csim", "crank")
+    }
+    val cells = nearestCells(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v", 1)
+    val probes = nearestCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", nProbe)
+    val scored = probes.join(cells, Seq("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        round(Dedup.cosine(col("qv"), col("v")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -95,6 +95,31 @@ class DatapipeSpec extends AnyFunSuite {
     assert(multi.length > single.length) // with 6 planes / 200 vecs it must actually widen
   }
 
+  test("IVF ANN: full probe ≡ brute force; partial probe is a subset ranking") {
+    val r = new java.util.Random(5)
+    val embs = (0L until 120L).map { i =>
+      (i, Seq.fill(16)(r.nextGaussian()))
+    }.toDF("vec_id", "v")
+    val queries = embs.filter(col("vec_id") < 8)
+    // probing EVERY cell makes the candidate set the whole corpus — must
+    // reproduce brute force exactly (cells partition the corpus)
+    val full = Similarity.ivfTopK(queries, embs, "vec_id", "v", 3,
+      nCentroids = 8, nProbe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, embs, "vec_id", "v", 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full === brute)
+    // partial probe: k-bounded, self-excluded, ranks consistent
+    val part = Similarity.ivfTopK(queries, embs, "vec_id", "v", 3,
+      nCentroids = 8, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(part.forall(x => x._1 != x._2 && x._4 <= 3))
+    part.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("embedding near-dup blocking finds planted duplicate vector") {
     val r = new java.util.Random(3)
     val base = Seq.fill(16)(r.nextGaussian())
