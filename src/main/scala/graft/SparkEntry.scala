@@ -311,6 +311,19 @@ object SparkEntry {
       val e = blogEdges(s)
       TreeAnalytics.longestPath(e, TreeAnalytics.rootsAndLevels(e))
     }),
+    "q_link_scores" -> ((s, _) => {
+      // north star: batched entity-link scoring per partition (broadcast
+      // dims; the crawl path keeps the reference's all-candidates semantics)
+      val spans = KgPipeline.textSpans(CorpusData.docsDF(s, kgCfg))
+      val m2e = CorpusData.ment2entDF(s, kgCfg)
+        .select(col("mention"), explode(col("entities")).as("entity"))
+      val dict = m2e.select("mention").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val det = Mentions.detect(s, spans, dict)
+        .join(spans, Seq("doc_id", "span_offset"))
+      Linker.scoreCandidates(det, m2e,
+        Linker.entityProfiles(CorpusData.avpairDF(s, kgCfg)))
+    }),
     "q_kg_canon_map" -> ((s, _) => {
       val dict = CorpusData.ment2entDF(s, kgCfg)
       val mentions = Mentions.detect(s, KgPipeline.textSpans(CorpusData.docsDF(s, kgCfg)),

@@ -313,8 +313,37 @@ object KgOracleSql {
        |JOIN ids i1 ON i1.name = 'blog:' || epi.root
        |JOIN ids i2 ON i2.name = 'blog:' || epi.tip""".stripMargin)
 
+  /** Entity-link candidate scoring (stages/Linker): bigram-Jaccard of span
+    * context vs entity KB profile, ranked per (doc, span, mention). */
+  val qLinkScores: String = {
+    val rp = OracleInputs.rp _
+    def bigrams(c: String) =
+      s"""list_distinct(CASE WHEN length($c) >= 2
+         |  THEN list_transform(generate_series(1, length($c) - 1), i -> substr($c, i, 2))
+         |  ELSE [$c] END)""".stripMargin
+    s"""WITH sp AS (SELECT doc_id, "offset" AS span_offset, text FROM ${rp("oi_spans")}
+       |            WHERE kind = 'text' AND text IS NOT NULL),
+       |m2e AS (SELECT mention, entity FROM ${rp("oi_ment2ent")}),
+       |det AS (SELECT s.doc_id, s.span_offset, s.text, d.mention
+       |        FROM sp s JOIN (SELECT DISTINCT mention FROM m2e) d
+       |          ON contains(s.text, d.mention)),
+       |ctx AS (SELECT doc_id, span_offset, mention, ${bigrams("text")} AS ctxb FROM det),
+       |pb AS (SELECT DISTINCT entity, bg FROM
+       |       (SELECT entity, unnest(${bigrams("obj")}) AS bg FROM ${rp("oi_avpair")})),
+       |prof AS (SELECT entity, list(bg) AS profile FROM pb GROUP BY entity),
+       |sc AS (SELECT c.doc_id, c.span_offset, c.mention, m.entity,
+       |         round(CAST(len(list_intersect(c.ctxb, p.profile)) AS DOUBLE) /
+       |           (len(c.ctxb) + len(p.profile) - len(list_intersect(c.ctxb, p.profile))), 6) AS score
+       |       FROM ctx c JOIN m2e m ON c.mention = m.mention
+       |                  JOIN prof p ON m.entity = p.entity)
+       |SELECT doc_id, span_offset, mention, entity, score, rank FROM
+       |(SELECT sc.*, row_number() OVER (PARTITION BY doc_id, span_offset, mention
+       |   ORDER BY score DESC, entity) AS rank FROM sc)""".stripMargin
+  }
+
   /** All KG-corpus oracle SQL, keyed by driver query name. */
   val all: Map[String, String] = Map(
+    "q_link_scores" -> qLinkScores,
     "q_kg_triples" -> qKgTriples,
     "q_kg_canon_map" -> qKgCanonMap,
     "q_kg_vertices" -> qKgVertices,
