@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness contract is "print ONE raw JSON line on stdout".
+// sbt's default output strategy pipes the forked JVM through its logger,
+// prefixing every stdout line with "[info] " — which breaks the driver's
+// JSON-line parse (BENCH_r01.json: parsed=null). Inherit stdout instead:
+// our println lands raw; Spark's log4j noise stays on stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // local-cluster[.] (separate executor JVMs — the N-vs-4N-executors bench
 // mode) launches executors through SPARK_HOME's jars dir and needs the
 // scala version pinned when no launcher build dir exists.
