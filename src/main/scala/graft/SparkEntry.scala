@@ -196,6 +196,27 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextStats.qualityScore(col("text")).as("quality"))),
+    "q_repetition" -> ((s, d) =>
+      // Gopher-style repetition signals, single scan pass
+      t(s, d, "documents").select(col("doc_id"),
+        TextStats.dupTokenFraction(col("text")).as("dup_token_frac"),
+        TextStats.symbolWordRatio(col("text")).as("symbol_word_ratio"))),
+    "q_top_bigram" -> ((s, d) =>
+      TextStats.topBigramFraction(t(s, d, "documents"), "doc_id", "text")),
+    "q_chunk_dedup" -> ((s, d) =>
+      // sub-document dedup: first corpus-wide occurrence of each 8-token
+      // chunk survives; per-doc scrub summary + reassembled text
+      Dedup.chunkDedup(t(s, d, "documents"), "doc_id", "text")),
+    "q_redact" -> ((s, d) =>
+      // PII scrub; the corpus has no planted PII, so the query stitches a
+      // deterministic email/phone/IP per doc before redacting — the oracle
+      // builds the identical string
+      t(s, d, "documents").select(col("doc_id"),
+        TextStats.redactPii(concat(col("text"), lit(" contact doc"),
+          col("doc_id").cast("string"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit("-1234 at 10.0.0."), (col("doc_id") % 255).cast("string")))
+          .as("redacted"))),
     "q_subword_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextStats.subwordCount(col("text")).as("n_subwords"))),
@@ -258,6 +279,16 @@ object SparkEntry {
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       Similarity.ivfTopK(embs.filter(col("vec_id") < 20), embs, "vec_id", "v", 3,
         nCentroids = 16, nProbe = 2)
+    }),
+    "q_ann_recall" -> ((s, d) => {
+      // the ANN self-check: recall@10 of multi-probe LSH vs brute force on
+      // a sampled query slice (both computed distributed; the slice is tiny)
+      val embs = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val qs = embs.filter(col("vec_id") < 20)
+      Similarity.recallAtK(
+        Similarity.lshTopK(qs, embs, "vec_id", "v", 10, planes = 8, probes = 1),
+        Similarity.bruteForceTopK(qs, embs, "vec_id", "v", 10), 10)
     }),
     "q_embed_neardup" -> ((s, d) => {
       val embs = t(s, d, "embeddings")
@@ -538,6 +569,57 @@ object SparkEntry {
         "FROM prb p JOIN asg a USING (cid) WHERE p.query_id <> a.id), " +
         "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc) " +
         "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3"),
+    "q_repetition" ->
+      ("WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
+        "SELECT doc_id, " +
+        "round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS dup_token_frac, " +
+        "round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) " +
+        "/ greatest(len(toks), 1), 4) AS symbol_word_ratio FROM t"),
+    "q_top_bigram" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "bg AS (SELECT doc_id, len(toks) AS n, u.b FROM t " +
+        "CROSS JOIN unnest(list_transform(generate_series(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS u(b) WHERE len(toks) >= 2), " +
+        "c AS (SELECT doc_id, n, b, count(*) AS cnt FROM bg GROUP BY 1, 2, 3) " +
+        "SELECT doc_id, round(max(cnt) * 2.0 / max(n), 4) AS top_bigram_frac FROM c GROUP BY 1"),
+    "q_chunk_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "ch AS (SELECT doc_id, u.i AS idx, array_to_string(toks[(u.i*8+1):(u.i*8+8)], ' ') AS para " +
+        "FROM t CROSS JOIN unnest(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS u(i)), " +
+        "r AS (SELECT doc_id, idx, para, " +
+        "row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn FROM ch) " +
+        "SELECT doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS kept_text " +
+        "FROM r GROUP BY 1"),
+    "q_redact" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "text || ' contact doc' || doc_id || '@example.com or 555-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234 at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\b\\d{3}-\\d{3,4}-\\d{4}\\b', '<PHONE>', 'g') AS redacted FROM documents"),
+    "q_ann_recall" ->
+      ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        embedBucketCtes(8) +
+        ", q AS (SELECT b.vec_id AS query_id, e.v AS qv, xor(b.bucket, f.f) AS bucket " +
+        "FROM bkt b JOIN emb e ON b.vec_id = e.vec_id " +
+        "CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f) f " +
+        "WHERE b.vec_id < 20), " +
+        "c AS (SELECT b.vec_id AS id, e.v, b.bucket FROM bkt b JOIN emb e ON b.vec_id = e.vec_id), " +
+        "sc AS (SELECT q.query_id, c.id, " +
+        "round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos " +
+        "FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.id), " +
+        "r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc), " +
+        "ap AS (SELECT query_id, id FROM r WHERE rank <= 10), " +
+        "bq AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20), " +
+        "bs AS (SELECT bq.query_id, emb.vec_id AS id, " +
+        "round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos " +
+        "FROM bq, emb WHERE bq.query_id <> emb.vec_id), " +
+        "br AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM bs), " +
+        "ex10 AS (SELECT query_id, id FROM br WHERE rank <= 10) " +
+        "SELECT e.query_id, round(CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10, 4) AS recall " +
+        "FROM ex10 e LEFT JOIN ap a ON e.query_id = a.query_id AND e.id = a.id GROUP BY 1"),
     "q_embed_multiprobe" ->
       ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
         embedBucketCtes(8) +

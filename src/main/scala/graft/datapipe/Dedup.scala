@@ -177,6 +177,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- chunk-level (paragraph) dedup ---------------------------------------
+
+  /** Sub-document dedup: split each doc into fixed `chunkTokens`-token
+    * chunks (the stand-in for paragraphs on corpora without newline
+    * structure), hash each chunk, and keep only its FIRST occurrence
+    * corpus-wide (ordered by doc id, then position). Returns one row per
+    * doc: total chunks, surviving chunks, and the reassembled kept text —
+    * the shape a pre-training scrub pass emits.
+    *
+    * Scale: one shuffle, partitioned by chunk hash (row_number per hash);
+    * a hash key's group is exactly the set of copies of one chunk, so the
+    * partition size is bounded by the corpus duplication factor — a
+    * boilerplate chunk repeated millions of times is the skew case, and
+    * AQE's skew handling (or capping copies per hash upstream) covers it.
+    * The reassembly groupBy is keyed by doc id — naturally balanced. */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 8): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = docs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ",
+            slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("para"))).orderBy(col(idCol), col("idx"))
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("idx"), col("para"))))),
+          s => s.getField("para")), " ").as("kept_text"))
+  }
+
   // ---- embedding cosine ----------------------------------------------------------
 
   /** Cosine similarity of two double-array columns — native codegen'd

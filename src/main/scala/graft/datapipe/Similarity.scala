@@ -121,4 +121,18 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Recall@k of an approximate top-k result against the exact one: per
+    * query, |approx ∩ exact| / k. Both inputs are the (query_id, id, …)
+    * shape the topK operators emit. This is the self-check a production ANN
+    * deployment runs on a sampled query slice — the sample is small, so the
+    * join is broadcast-sized even when the index covers the full corpus. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select(col("query_id"), col("id"), lit(1).as("hit"))
+    exact.select("query_id", "id")
+      .join(hits, Seq("query_id", "id"), "left")
+      .groupBy("query_id")
+      .agg(round(sum(coalesce(col("hit"), lit(0))).cast("double") / k, 4)
+        .as("recall"))
+  }
 }

@@ -59,4 +59,65 @@ object TextStats {
     * text. md5 (not xxhash64) so external engines can reproduce it. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  // ---- repetition signals (Gopher-style pre-training filters) -------------
+  // Rae et al. 2021 ("Scaling Language Models", §A1.1) filter documents by
+  // duplicate-line / duplicate-ngram fractions; all three below are narrow
+  // column expressions that run inside the scan pass with the other scores.
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 − |distinct tokens| / |tokens|. */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 4)
+  }
+
+  /** Fraction of lines that are repeats of an earlier line (boilerplate
+    * chrome / repeated headers). */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    round(lit(1.0) - size(array_distinct(lines)).cast("double") /
+      greatest(size(lines), lit(1)).cast("double"), 4)
+  }
+
+  /** Symbol characters (anything outside [A-Za-z0-9 ]) per word — high
+    * values flag markup/code/mojibake masquerading as text. */
+  def symbolWordRatio(text: Column): Column =
+    round((length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+      .cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double"), 4)
+
+  /** Fraction of tokens covered by the single most frequent bigram
+    * (2 × max bigram count / token count). Needs a per-doc frequency table,
+    * so it is a DataFrame op (explode → two-phase count → max), not a scalar
+    * column: partial aggregation keeps the shuffle narrow — rows shuffled
+    * are (doc, distinct bigram), never (doc, token occurrence). Docs with
+    * fewer than 2 tokens have no bigram and are dropped. */
+  def topBigramFraction(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    docs.filter(size(tokens(col(textCol))) >= 2)
+      .select(col(idCol), size(toks).as("n"), explode(bigrams).as("b"))
+      .groupBy(idCol, "n", "b").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol)
+      .agg(round(max(col("cnt")) * lit(2.0) / max(col("n")), 4)
+        .as("top_bigram_frac"))
+  }
+
+  // ---- PII redaction -------------------------------------------------------
+  // Training-data scrubbing pass: emails, phone-shaped numbers, IPv4.
+  // Patterns are deliberately RE2-compatible (no backrefs/lookaround) so an
+  // external engine reproduces the output byte-for-byte; order matters —
+  // emails first (they contain dots that would otherwise half-match IPs).
+
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{3}-\\d{3,4}-\\d{4}\\b", "<PHONE>")
+  }
 }

@@ -147,6 +147,79 @@ class DatapipeSpec extends AnyFunSuite {
     assert(zh === "zh")
   }
 
+  test("repetition signals: dup-token/dup-line fractions and symbol ratio") {
+    val rep = Seq(
+      (0L, "spam spam spam spam"),                       // one distinct token
+      (1L, "all words here are fully distinct tokens"),
+      (2L, "head\nsame line\nsame line\ntail"),          // 1 of 4 lines repeated
+      (3L, "a $$ b ## c %% d"))                          // 6 symbols / 7 tokens
+      .toDF("doc_id", "text")
+    val r = rep.select(col("doc_id"),
+      TextStats.dupTokenFraction(col("text")).as("dt"),
+      TextStats.dupLineFraction(col("text")).as("dl"),
+      TextStats.symbolWordRatio(col("text")).as("sy"))
+      .as[(Long, Double, Double, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(0L)._2 === 0.75)   // 1 - 1/4
+    assert(r(1L)._2 === 0.0)
+    assert(r(2L)._3 === 0.25)   // 1 - 3/4 lines
+    assert(r(3L)._4 === 0.8571) // $$ ## %% = 6 symbol chars / 7 tokens, round 4
+  }
+
+  test("top-bigram fraction flags ngram-repetition boilerplate") {
+    val rep = Seq(
+      (0L, "buy now buy now buy now"),   // "buy now" 3× over 6 tokens → 1.0
+      (1L, "each bigram here appears exactly once only"),
+      (2L, "solo"))                      // <2 tokens → dropped
+      .toDF("doc_id", "text")
+    val r = TextStats.topBigramFraction(rep, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(r(0L) === 1.0)
+    assert(r(1L) === 0.2857) // max bigram count 1, ×2 / 7 tokens, round 4
+    assert(!r.contains(2L))
+  }
+
+  test("chunk dedup keeps only the first corpus-wide copy of a chunk") {
+    val eight = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val rep = Seq(
+      (0L, s"$eight unique0 tail0"),
+      (1L, s"$eight unique1 tail1"),  // first 8-token chunk identical to doc 0's
+      (2L, "totally fresh words with no shared chunk at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.chunkDedup(rep, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    assert(r(0L)._2 === 2 && r(0L)._3 === 2)           // both chunks kept
+    assert(r(1L)._2 === 2 && r(1L)._3 === 1)           // shared chunk dropped
+    assert(r(1L)._4 === "unique1 tail1")               // reassembly skips it
+    assert(r(0L)._4 === s"$eight unique0 tail0")
+    assert(r(2L)._3 === 2)
+  }
+
+  test("PII redaction scrubs emails, phones, IPv4 — order-safe") {
+    val out = Seq("mail a.b+c@ex-ample.org then 555-0042-1234 via 10.0.0.7 done")
+      .toDF("text").select(TextStats.redactPii(col("text"))).collect()(0).getString(0)
+    assert(out === "mail <EMAIL> then <PHONE> via <IP> done")
+    // an email containing dots must not be half-eaten by the IP pattern
+    val tricky = Seq("x 1.2.3.4@host.com y").toDF("text")
+      .select(TextStats.redactPii(col("text"))).collect()(0).getString(0)
+    assert(tricky === "x <EMAIL> y")
+  }
+
+  test("ANN recall@k: multi-probe LSH ≥ single-probe, both ≤ brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val qs = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "v", 5)
+    def avgRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact, 5)
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+    val single = avgRecall(Similarity.lshTopK(qs, e, "vec_id", "v", 5, 8, 0))
+    val multi = avgRecall(Similarity.lshTopK(qs, e, "vec_id", "v", 5, 8, 1))
+    assert(multi >= single)
+    assert(multi <= 1.0 + 1e-9)
+    val brute = avgRecall(exact)
+    assert(brute === 1.0) // recall of exact against itself is 1 by definition
+  }
+
   test("multimodal: feature extraction batch op + frame sampling") {
     val media = Multimodal.mediaFromDocs(docs)
     val feats = Multimodal.extractFeatures(spark, media).collect()
