@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.Rules
+import graft.core.{Bucketing, Rules}
 import graft.datapipe.{Dedup, Multimodal, Similarity, TextStats}
 import graft.gen.{Corpus, CorpusData}
 import graft.stages._
@@ -196,6 +196,24 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextStats.qualityScore(col("text")).as("quality"))),
+    "q_bucketed_join" -> ((s, d) => {
+      // co-located layout: both sides bucketed on the join key → the merge
+      // join plans with zero Exchange (BucketingSpec pins the plan); the
+      // result is byte-identical to the shuffled join the oracle runs
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '/tmp/graft-bkt-wh'")
+      val spec = Bucketing.BucketSpec("custkey", 8)
+      Bucketing.writeBucketed(
+        t(s, d, "orders").withColumnRenamed("o_custkey", "custkey"),
+        "graft_bkt.b_orders", spec)
+      Bucketing.writeBucketed(
+        t(s, d, "customer").withColumnRenamed("c_custkey", "custkey"),
+        "graft_bkt.b_customer", spec)
+      Bucketing.colocatedJoin(s, "graft_bkt.b_orders", "graft_bkt.b_customer", spec)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 1)
+            .as("total"))
+    }),
     "q_repetition" -> ((s, d) =>
       // Gopher-style repetition signals, single scan pass
       t(s, d, "documents").select(col("doc_id"),
@@ -569,6 +587,10 @@ object SparkEntry {
         "FROM prb p JOIN asg a USING (cid) WHERE p.query_id <> a.id), " +
         "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc) " +
         "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3"),
+    "q_bucketed_join" ->
+      ("SELECT c_mktsegment AS seg, count(*) AS n_orders, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),
     "q_repetition" ->
       ("WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
         "SELECT doc_id, " +

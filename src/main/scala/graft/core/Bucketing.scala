@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table layout for co-located joins and aggregations.
+  *
+  * At 100 TB the dominant cost of the KG build's repeated self- and
+  * equi-joins (triples ⋈ canon_map on subj, blog trees ⋈ parents on mid,
+  * dedup groupBys on the composite key) is the shuffle. Writing the hot
+  * tables bucketed by their join key removes it: two tables bucketed into
+  * the same number of buckets on the join key plan a SortMergeJoin with NO
+  * Exchange on either side — each task reads matching bucket files
+  * directly. That is the standard lake-layout contract (Hive bucketing /
+  * Iceberg bucket partition transform); the reference has no analogue (it
+  * re-hashes in driver HashMaps every run — e.g. FromScrappyDump.kt's
+  * per-scan rebuild), but any Spark engine at this scale pre-buckets.
+  *
+  * Guidance encoded here:
+  *   - bucket count should be a multiple of the cluster's parallelism and
+  *     sized so one bucket of the BIG table fits an executor's memory;
+  *   - both join sides must agree on (key, bucket count) — enforced by
+  *     writing through the same spec;
+  *   - bucketed writes must not also be sorted by a different column, or
+  *     the per-bucket sort is wasted for the merge join.
+  */
+object Bucketing {
+
+  /** One bucket layout both sides of a co-located join must share. */
+  final case class BucketSpec(key: String, buckets: Int)
+
+  /** Write `df` as a bucketed managed table (parquet). Spark only persists
+    * bucket metadata through the catalog, so this is saveAsTable, not a
+    * path write. Sorting within buckets by the key makes downstream
+    * SortMergeJoins skip their sort too. */
+  def writeBucketed(df: DataFrame, table: String, spec: BucketSpec): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(spec.buckets, spec.key)
+      .sortBy(spec.key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read a bucketed table back with bucket metadata intact. */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Co-located equi-join of two tables previously written with the SAME
+    * spec: planned with zero Exchange (verified in BucketingSpec). */
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
+                    spec: BucketSpec): DataFrame =
+    readBucketed(spark, left).join(readBucketed(spark, right), spec.key)
+}

@@ -48,6 +48,27 @@ class PlanSpec extends AnyFunSuite {
       s"near-dup blocking degenerated to a product join:\n$p")
   }
 
+  test("top-bigram fraction aggregates partially before the shuffle") {
+    // the (doc, bigram) count must map-side combine: a partial HashAggregate
+    // below the Exchange, so rows shuffled are (doc, DISTINCT bigram), not
+    // every bigram occurrence
+    val p = plan(SparkEntry.queries("q_top_bigram")(spark, sf))
+    val exchangeAt = p.indexOf("Exchange hashpartitioning")
+    val partialAt = p.lastIndexOf("HashAggregate")
+    assert(exchangeAt >= 0 && partialAt > exchangeAt,
+      s"no partial aggregate below the shuffle:\n$p")
+  }
+
+  test("chunk dedup is window + two keyed shuffles — no product, no global sort") {
+    val p = plan(SparkEntry.queries("q_chunk_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"chunk dedup degenerated to a product join:\n$p")
+    // the Window must partition by the chunk hash (Exchange hashpartitioning),
+    // never a single-partition global window
+    assert(!p.contains("Exchange SinglePartition"),
+      s"chunk dedup collapsed to a single partition:\n$p")
+  }
+
   test("exact-dedup hot path stays inside whole-stage codegen") {
     // fingerprint (trim/regexp_replace/lower/md5) + two-phase HashAggregate
     // must all live in codegen stages ("*(n)" spans); lambda higher-order
