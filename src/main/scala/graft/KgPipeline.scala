@@ -76,12 +76,19 @@ object KgPipeline {
     }
 
     val kb = small(stage("kb_triples", Seq.empty) {
-      val dict = ment2ent.select("mention").distinct()
-        .collect().map(_.getString(0)).toSeq // bounded dictionary (dim table)
+      import spark.implicits._
+      // ONE collect of the bounded ment2ent dimension feeds both the trie
+      // dictionary and (via m2eCollected) the fast-path closure — the dim
+      // phase is serial driver latency on the critical path, so every
+      // spared job shows up directly in the small-cluster wall
+      val m2eRows = ment2ent.select(col("mention"), col("entities"))
+        .as[(String, Seq[String])].collect()
+      val dict = m2eRows.iterator.map(_._1).toSeq.distinct
       val mentions = Mentions.detect(spark, textSpans(docs), dict)
         .select(col("mention")).distinct()
       KbExpand.expand(spark, mentions, ment2ent, avpair, Rules.recursivePreds,
-        driverThreshold = dimThreshold)
+        driverThreshold = dimThreshold,
+        m2eCollected = if (dimThreshold > 0) Some(m2eRows.toMap) else None)
     })
 
     val kbT = kb.select(col("subj"), col("pred"), col("obj"),

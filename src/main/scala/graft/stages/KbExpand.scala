@@ -38,7 +38,8 @@ object KbExpand {
       avpair: DataFrame,
       recursivePreds: Set[String],
       maxRounds: Int = 20,
-      driverThreshold: Long = 0L): DataFrame = {
+      driverThreshold: Long = 0L,
+      m2eCollected: Option[Map[String, Seq[String]]] = None): DataFrame = {
 
     // The BFS closure is DIMENSION-bounded: it expands over the KB tables,
     // never over per-doc rows (the doc side is already reduced to distinct
@@ -46,13 +47,22 @@ object KbExpand {
     // which it is broadcast — computing the closure in-memory costs 2 jobs
     // instead of O(rounds); this is exactly the reference's HashMap walk
     // (AbstractSubjectGraph.kt:17–46). The dataflow loop below remains the
-    // path for KBs beyond driver memory.
-    if (driverThreshold > 0 && avpair.count() <= driverThreshold) {
+    // path for KBs beyond driver memory. The size guard is folded into the
+    // collect itself (limit N+1, check the length) — one driver job, not a
+    // count() followed by a collect(); callers that already hold the
+    // ment2ent dimension pass it via `m2eCollected` to skip that job too.
+    val avLimited = if (driverThreshold > 0)
+      avpair.select("entity", "pred", "obj")
+        .limit(math.min(driverThreshold, Int.MaxValue - 2L).toInt + 1).collect()
+    else Array.empty[org.apache.spark.sql.Row]
+    if (driverThreshold > 0 && avLimited.length <= driverThreshold) {
       import spark.implicits._
-      val m2e = ment2ent.select(col("mention"), col("entities"))
-        .as[(String, Seq[String])].collect().toMap
-      val av = avpair.select("entity", "pred", "obj")
-        .as[(String, String, String)].collect().groupBy(_._1)
+      val m2e = m2eCollected.getOrElse(
+        ment2ent.select(col("mention"), col("entities"))
+          .as[(String, Seq[String])].collect().toMap)
+      val av = avLimited
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .groupBy(_._1)
       val visited = scala.collection.mutable.HashSet[String]()
       val queue = scala.collection.mutable.Queue[String]()
       mentions.select("mention").as[String].collect().foreach(queue.enqueue)

