@@ -22,13 +22,19 @@ object KgScale {
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
     val spark = SparkSession.builder().master(master)
       .config("spark.executor.extraClassPath", classesDir)
-      .config("spark.sql.shuffle.partitions", totalCores)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", totalCores.toString))
       // scaled-down stand-in: the corpus is ~100 MB, not 100 TB — keep the
       // split size proportionally small so scan parallelism is set by the
       // cluster size, exactly as the default 128 MB does on a real lake
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE's 64m default advisory re-coalesces the dedup exchange into
+      // ~1.4M-key partitions whose agg hash maps fall back to sort+spill
+      // (superlinear CPU). A smaller advisory keeps the per-task map O(cache).
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,7 +70,8 @@ object KgScale {
       val docs = spark.read.parquet(path)
       val out = KgPipeline.run(spark, docs,
         CorpusData.ment2entDF(spark, cfg), CorpusData.avpairDF(spark, cfg),
-        shufflePartitions = totalCores, dimFastPaths = true)
+        shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", totalCores.toString).toInt,
+        dimFastPaths = true)
       val n2 = out.triples.count()
       // drop caches so the next run starts cold
       spark.sharedState.cacheManager.clearCache()
