@@ -136,8 +136,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
-    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "2000000").toInt
-    val pairs = sys.env.getOrElse("SPARK_GRAFT_KG_PAIRS", "3").toInt
+    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "4000000").toInt
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_KG_PAIRS", "2").toInt
+    // 4M docs: the serial driver latency (~4 s of dim-phase jobs + AQE
+    // planning gaps) is a fixed cost; at a 25 s wide-side wall it bounds
+    // measurable efficiency near 0.75 no matter how well the parallel part
+    // scales. A ~150 s / ~42 s job pair measures the PARALLEL fraction a
+    // real multi-hour 100 TB run actually has. Two pairs (wide side
+    // min-of-2 each) keep total bench wall where three 2M pairs were.
 
     val s1 = session(s"local[$cpus]", cpus)
     val results = headline.map { name =>

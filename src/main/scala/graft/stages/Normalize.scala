@@ -1,6 +1,6 @@
 package graft.stages
 
-import graft.functions.{Base62, TextExtract => TE}
+import graft.functions.{Base62, SpanFields, TextExtract => TE}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -8,18 +8,24 @@ import org.apache.spark.sql.functions._
   *
   * The Spark image of the reference's per-row field rectification
   * (weibo/FromScrappyDump.kt:162–285 parseBlog, :295–348 parseComment,
-  * version dispatch :376–383). Entirely narrow column expressions over the
-  * `spans` array — no explode, no shuffle, whole-stage codegen; this stage
-  * scales linearly and is the basis of the N→4N scaling evidence.
+  * version dispatch :376–383). Narrow column expressions — no explode, no
+  * shuffle; this stage scales linearly and is the basis of the N→4N
+  * scaling evidence.
+  *
+  * Span access goes through ONE native [[SpanFields]] pass per row
+  * (min-offset span per kind, prefix-matched stats): the earlier
+  * `get(filter(spans, …), 0)` per field re-walked the array through ~15
+  * interpreted higher-order lambdas per row, whose allocation storm
+  * inflated CPU 11× once 8 cores ran concurrently (see SpanFields doc).
+  * The `sf` struct is aliased in its own projection so CollapseProject
+  * cannot inline the (non-cheap) expression into every consumer.
   */
 object Normalize {
 
-  /** Spans in offset order — the generator emits them ordered, but the
-    * per-row invariant is on (kind, text, media_ref, ORDER), so sort
-    * defensively. IMPORTANT: comparator-lambda array_sort is interpreted
-    * (not codegen'd) — it must be materialized ONCE per row into a column
-    * (see [[withSortedSpans]]), never embedded in every derived column, or
-    * the sort re-evaluates ~15× per row and dominates the stage. */
+  /** Spans in offset order — kept for the span-sequence invariant test;
+    * the normalize path no longer needs a sort (SpanFields selects the
+    * min-offset span per kind directly). Comparator-lambda array_sort is
+    * interpreted; never embed it per derived column. */
   def spansSorted(c: Column): Column =
     array_sort(c, (l, r) => l.getField("offset") - r.getField("offset"))
 
@@ -27,39 +33,33 @@ object Normalize {
   def withSortedSpans(docs: DataFrame): DataFrame =
     docs.withColumn("spans", spansSorted(col("spans")))
 
-  private def firstOf(spans: Column, kind: String): Column =
-    get(filter(spans, s => s.getField("kind") === kind), lit(0)) // null-safe under ANSI
+  def isComment(spans: Column): Column =
+    exists(spans, s => s.getField("kind") === "cid")
 
-  private def textOf(spans: Column, kind: String): Column =
-    firstOf(spans, kind).getField("text")
+  private def withSf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), SpanFields(col("spans")).as("sf"))
 
-  private def refOf(spans: Column, kind: String): Column =
-    firstOf(spans, kind).getField("media_ref")
+  private def textOf(kind: String): Column = col(s"sf.${kind}_text")
+  private def refOf(kind: String): Column = col(s"sf.${kind}_ref")
+  private def offOf(kind: String): Column = col(s"sf.${kind}_off")
 
   /** Counter field by its CJK prefix word — the image of the reference's
     * per-field intOrZero (FromScrappyDump.kt:169–171, 340–344). */
-  private def statOf(spans: Column, word: String): Column =
-    TE.intOrZero(get(
-      filter(spans, s => s.getField("kind") === "stat" &&
-        s.getField("text").startsWith(word)), lit(0)).getField("text"))
-
-  def isComment(spans: Column): Column =
-    exists(spans, s => s.getField("kind") === "cid")
+  private def statOf(word: String): Column =
+    TE.intOrZero(col(s"sf.${SpanFields.statField(word)}"))
 
   /** docs → normalized blog rows (null mid / missing time ⇒ invalid, the
     * reference's `return false` paths, FromScrappyDump.kt:166, 179–182, 225). */
   def blogs(docs0: DataFrame): DataFrame = {
-    val docs = withSortedSpans(docs0)
-    val sp = col("spans")
-    val url = refOf(sp, "link")
-    val content = textOf(sp, "text")
-    val unameRaw = textOf(sp, "uname")
-    val ctime = textOf(sp, "ctime")
-    val timeF = textOf(sp, "time")
-    val scrap = textOf(sp, "scrap")
-    val srcSpan = firstOf(sp, "src")
-    val srcRef = srcSpan.getField("media_ref")
-    val srcText = srcSpan.getField("text")
+    val docs = withSf(docs0.filter(!isComment(col("spans"))))
+    val url = refOf("link")
+    val content = textOf("text")
+    val unameRaw = textOf("uname")
+    val ctime = textOf("ctime")
+    val timeF = textOf("time")
+    val scrap = textOf("scrap")
+    val srcRef = refOf("src")
+    val srcText = textOf("src")
 
     // create_time branch then time branch (FromScrappyDump.kt:202–225)
     val timeClean = regexp_replace(timeF, "\n", "")
@@ -76,17 +76,16 @@ object Normalize {
       .otherwise(lit("unknown"))
 
     docs
-      .filter(!isComment(sp))
       .select(
         col("doc_id"),
         TE.url2codedMid(url).as("mid"),
         TE.uidFromBlogUrl(url).as("uid"),
         content.as("content"),
-        firstOf(sp, "text").getField("offset").as("content_offset"),
+        offOf("text").as("content_offset"),
         username.as("username"),
-        statOf(sp, "转发").as("repost"),
-        statOf(sp, "评论").as("comment"),
-        statOf(sp, "点赞").as("like"),
+        statOf("转发").as("repost"),
+        statOf("评论").as("comment"),
+        statOf("点赞").as("like"),
         timeRaw.as("time_raw"),
         scrap.as("scrap_time"),
         when(srcRef.contains("//weibo.com"), TE.url2codedMid(srcRef)).as("repost_id"),
@@ -101,10 +100,9 @@ object Normalize {
 
   /** docs → normalized comment rows (FromScrappyDump.kt:295–348). */
   def comments(docs0: DataFrame): DataFrame = {
-    val docs = withSortedSpans(docs0)
-    val sp = col("spans")
-    val cidDec = textOf(sp, "cid")
-    val ct = textOf(sp, "ctime")
+    val docs = withSf(docs0.filter(isComment(col("spans"))))
+    val cidDec = textOf("cid")
+    val ct = textOf("ctime")
     // startsWith "<div" → text between first '>' and next '<'; then strip
     // a leading `N楼 ` floor marker (FromScrappyDump.kt:308–316).
     val afterGt = get(split(ct, ">", 2), lit(1))
@@ -114,17 +112,16 @@ object Normalize {
     val t1 = when(t0.contains("楼 "), get(split(t0, "楼 ", 2), lit(1))).otherwise(t0)
 
     docs
-      .filter(isComment(sp))
       .select(
         col("doc_id"),
         Base62.encode_mid(cidDec).as("cid"),
-        TE.uidFromUserUrl(refOf(sp, "user")).as("uid"),
-        textOf(sp, "text").as("content"),
-        firstOf(sp, "text").getField("offset").as("content_offset"),
+        TE.uidFromUserUrl(refOf("user")).as("uid"),
+        textOf("text").as("content"),
+        offOf("text").as("content_offset"),
         when(ct.isNull, lit(null).cast("string")).otherwise(t1).as("time"),
-        textOf(sp, "scrap").as("scrap_time"),
-        TE.url2codedMid(refOf(sp, "src")).as("mid"),
-        statOf(sp, "赞").as("like"))
+        textOf("scrap").as("scrap_time"),
+        TE.url2codedMid(refOf("src")).as("mid"),
+        statOf("赞").as("like"))
       .withColumn("valid", col("cid").isNotNull && col("mid") =!= "")
   }
 }
