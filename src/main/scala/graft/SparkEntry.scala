@@ -196,6 +196,11 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextStats.qualityScore(col("text")).as("quality"))),
+    "q_salted_agg" -> ((s, d) =>
+      // explicit two-phase salted aggregation: the hot event_type's first
+      // phase spreads over 8 reducers; result ≡ the plain groupBy (oracle)
+      graft.core.Skew.saltedCount(
+        t(s, d, "events"), "event_type", col("event_id"), salts = 8)),
     "q_bucketed_join" -> ((s, d) => {
       // co-located layout: both sides bucketed on the join key → the merge
       // join plans with zero Exchange (BucketingSpec pins the plan); the
@@ -587,6 +592,8 @@ object SparkEntry {
         "FROM prb p JOIN asg a USING (cid) WHERE p.query_id <> a.id), " +
         "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc) " +
         "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3"),
+    "q_salted_agg" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
     "q_bucketed_join" ->
       ("SELECT c_mktsegment AS seg, count(*) AS n_orders, " +
         "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 1) AS total " +
