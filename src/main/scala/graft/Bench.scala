@@ -72,9 +72,9 @@ object Bench {
   /** Measured pipeline runs on `executors` × 2-core executor JVMs; returns
     * (min wall over `measuredRuns` back-to-back runs, triple count). VM
     * CPU-steal can only ADD wall time, so the min over repeats is the
-    * consistent estimator of the true wall; the short wide job (4-exec,
-    * ~25 s) sits entirely inside single steal phases and needs the repeat
-    * filter, while the ~80 s 1-exec job integrates across phases. */
+    * consistent estimator of the true wall; callers apply the SAME
+    * `measuredRuns` at both cluster sizes so the filter cannot bias the
+    * efficiency ratio. */
   private def timeKg(executors: Int, nDocs: Int,
                      measuredRuns: Int = 1): (Double, Long) = {
     val canCluster = Files.exists(Paths.get("/opt/spark/jars"))
@@ -138,11 +138,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "4000000").toInt
     val pairs = sys.env.getOrElse("SPARK_GRAFT_KG_PAIRS", "2").toInt
-    // min-of-3 on the wide side: its ~35 s runs sit inside single VM-steal
-    // phases, and phases outlast one repeat — three back-to-back runs span
-    // ~105 s and reliably catch a clean window (measured: min-of-2 still
-    // let a stolen 52 s sample through)
-    val wideRuns = sys.env.getOrElse("SPARK_GRAFT_KG_WIDERUNS", "3").toInt
+    // SYMMETRIC repeat policy: BOTH sides take the min of the same number
+    // of back-to-back runs. (The round-2 estimator min-of-3'd only the fast
+    // 4-exec side; since VM CPU-steal can only ADD wall time, filtering
+    // noise out of one side alone biases eff = sec1/(4·sec4) upward —
+    // flagged in review. min over repeats remains the right estimator of
+    // the true wall on a steal-exposed VM; it is now applied evenly.)
+    val runsPerSide = sys.env.getOrElse("SPARK_GRAFT_KG_RUNS", "2").toInt
     // 4M docs: the serial driver latency (~4 s of dim-phase jobs + AQE
     // planning gaps) is a fixed cost; at a 25 s wide-side wall it bounds
     // measurable efficiency near 0.75 no matter how well the parallel part
@@ -177,8 +179,8 @@ object Bench {
     // identical job + input at two cluster sizes (1 vs 4 executor JVMs),
     // alternating sides so slow VM phases hit both sides alike
     val samples = (1 to pairs).map { _ =>
-      val (sec4, n4) = timeKg(4, kgDocs, measuredRuns = wideRuns)
-      val (sec1, n1) = timeKg(1, kgDocs)
+      val (sec4, n4) = timeKg(4, kgDocs, measuredRuns = runsPerSide)
+      val (sec1, n1) = timeKg(1, kgDocs, measuredRuns = runsPerSide)
       // identical job + input ⇒ identical output; a mismatch is a
       // correctness red flag the bench must not mask
       require(n1 == n4, s"triple count diverged across cluster sizes: $n1 vs $n4")
@@ -229,10 +231,10 @@ object Bench {
     line(s"4-exec walls: ${samples.map(s => f"${s._2}%.1f").mkString(", ")} s);")
     line("target ≥ 0.8 (BASELINE.md). Per-side medians rather than per-pair")
     line("ratios: a single VM CPU-steal outlier then cannot drag the result.")
-    line(s"Each 4-exec sample is the MIN of $wideRuns back-to-back runs: steal can")
-    line("only ADD wall time, so min-of-repeats is the consistent estimator,")
-    line("and the short wide job sits inside single steal phases while the")
-    line("~80 s 1-exec job integrates across them (its samples are raw).")
+    line(s"SYMMETRIC repeat policy: EACH side's sample is the MIN of $runsPerSide")
+    line("back-to-back runs — steal can only ADD wall time, so min-of-repeats")
+    line("is the consistent estimator, and applying it to one side only")
+    line("(as an earlier revision did) would bias the ratio in our favor.")
     line("Shuffle width (64) and every other conf are IDENTICAL at both")
     line("cluster sizes — width follows the data, not the core count.")
     line("")

@@ -177,6 +177,38 @@ object SparkEntry {
       // gap-based sessionization (batch twin of the stateful stream op)
       graft.streaming.Sessionize.sessionsBatch(t(s, d, "events"),
         "event_type", "ts", gapSec = 3600)),
+    "q_sessionize_stream" -> ((s, d) => {
+      // the STREAM path of the same operator (flatMapGroupsWithState with
+      // event-time timeout), surfaced to the driver gate: same rows, same
+      // oracle as the batch twin. MemoryStream is necessarily fed from the
+      // driver — that is the verification seam (production reads a source),
+      // and the stateful operator itself runs distributed.
+      import graft.streaming.Sessionize
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = t(s, d, "events")
+        .select(col("event_type").cast("string").as("key"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[Sessionize.Ev].collect()
+      val maxTs = evs.iterator.map(_.ts.getTime).max
+      val qname = "graft_sessionize_stream"
+      s.catalog.dropTempView(qname)
+      val stream = MemoryStream[Sessionize.Ev]
+      val query = Sessionize.sessionsStream(stream.toDS(), gapSec = 3600)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        stream.addData(evs.toSeq)
+        query.processAllAvailable()
+        // one far-future sentinel advances the (global) watermark past every
+        // open session's gap so the event-time timeouts close them all
+        stream.addData(Seq(Sessionize.Ev(" wm",
+          new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000))))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(qname).filter(col("key") =!= " wm")
+    }),
 
     // ---- training-data ops: text ---------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
@@ -204,8 +236,15 @@ object SparkEntry {
     "q_bucketed_join" -> ((s, d) => {
       // co-located layout: both sides bucketed on the join key → the merge
       // join plans with zero Exchange (BucketingSpec pins the plan); the
-      // result is byte-identical to the shuffled join the oracle runs
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '/tmp/graft-bkt-wh'")
+      // result is byte-identical to the shuffled join the oracle runs.
+      // HERMETIC: leftover catalog/filesystem state from ANY prior run
+      // (this process or another) is dropped first, and the warehouse
+      // location is a fresh per-run temp dir — a fixed /tmp path cost this
+      // query its round-2 correctness row (LOCATION_ALREADY_EXISTS on rerun)
+      s.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
+      val wh = java.nio.file.Files.createTempDirectory("graft-bkt-wh")
+      java.nio.file.Files.delete(wh) // CREATE DATABASE owns (and creates) it
+      s.sql(s"CREATE DATABASE graft_bkt LOCATION '${wh.toString}'")
       val spec = Bucketing.BucketSpec("custkey", 8)
       Bucketing.writeBucketed(
         t(s, d, "orders").withColumnRenamed("o_custkey", "custkey"),
@@ -476,6 +515,15 @@ object SparkEntry {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid FROM b) " +
         "SELECT key, sid, min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n " +
         "FROM s GROUP BY 1, 2"),
+    // the stream path must emit EXACTLY the batch twin's sessions
+    "q_sessionize_stream" ->
+      ("WITH o AS (SELECT event_type AS key, CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events), " +
+        "b AS (SELECT key, ts, CASE WHEN lag(ts) OVER (PARTITION BY key ORDER BY ts) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY key ORDER BY ts) > 3600 THEN 1 ELSE 0 END AS brk FROM o), " +
+        "s AS (SELECT key, ts, CAST(sum(brk) OVER (PARTITION BY key ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS sid FROM b) " +
+        "SELECT key, sid, min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n " +
+        "FROM s GROUP BY 1, 2"),
     "q_dedup_exact" ->
       ("SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, " +
         "count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1"),
@@ -559,7 +607,10 @@ object SparkEntry {
     "q_embed_neardup" ->
       ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500), " +
         embedBucketCtes(4) +
-        ", pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM bkt a " +
+        // mirrors the engine's maxBucket=256 dense-bucket guard
+        ", okb AS (SELECT bucket FROM bkt GROUP BY bucket HAVING count(*) <= 256), " +
+        "pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM bkt a " +
+        "JOIN okb USING (bucket) " +
         "JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), " +
         "sc AS (SELECT p.id1, p.id2, " +
         "round(list_dot_product(e1.v, e2.v) / (sqrt(list_dot_product(e1.v, e1.v)) * sqrt(list_dot_product(e2.v, e2.v))), 6) AS cos " +

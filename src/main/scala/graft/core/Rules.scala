@@ -1,5 +1,8 @@
 package graft.core
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 /** Relation rule tables — per-pipeline rule sets plus their union.
   *
   * The default engine path uses the UNION of the three crawl pipelines'
@@ -23,7 +26,11 @@ object Rules {
   final case class PipelineRules(
       name: String,
       recursive: Set[String],
-      targetLabels: (Set[String], String) => Set[String])
+      targetLabels: (Set[String], String) => Set[String],
+      /** The same rule as a column expression for the DATAFLOW path:
+        * (pred, subjIsReligion) → label. Must agree with `targetLabels`
+        * (asserted in PipelineRulesSpec). */
+      labelCol: (Column, Column) => Column)
 
   /** GovernmentGraph.kt:7–14. */
   val government: PipelineRules = PipelineRules(
@@ -32,7 +39,8 @@ object Rules {
     (_, relation) => relation match {
       case "机场" | "火车站" => Set("交通设施")
       case r => Set(r)
-    })
+    },
+    (pred, _) => when(pred.isin("机场", "火车站"), lit("交通设施")).otherwise(pred))
 
   /** CompanyGraph.kt:9–20. */
   val company: PipelineRules = PipelineRules(
@@ -42,7 +50,10 @@ object Rules {
       case "创办人" | "创始人" => Set("经济人物")
       case "开发商" | "发行商" | "主办单位" | "开发公司" => Set("公司")
       case r => Set(r)
-    })
+    },
+    (pred, _) => when(pred.isin("创办人", "创始人"), lit("经济人物"))
+      .when(pred.isin("开发商", "发行商", "主办单位", "开发公司"), lit("公司"))
+      .otherwise(pred))
 
   /** ReligionGraph.kt:21–37. NOTE the reference's else-branch returns the
     * LITERAL string "relation" (ReligionGraph.kt:36) — not the relation
@@ -57,7 +68,12 @@ object Rules {
       case r if aliasPreds.contains(r) =>
         if (labels.contains("宗教")) Set("宗教") else Set("人物")
       case _ => Set("relation")
-    })
+    },
+    (pred, subjRel) => when(pred.isin("教派", "学派", "所属宗教", "隶属"), lit("宗教"))
+      .when(pred === "主要人物", lit("宗教人物"))
+      .when(pred.isin(aliasPreds.toSeq: _*),
+        when(subjRel, lit("宗教")).otherwise(lit("人物")))
+      .otherwise(lit("relation")))
 
   val pipelines: Seq[PipelineRules] = Seq(government, company, religion)
 

@@ -37,6 +37,15 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  entropy: Column, salts: Int = 8,
                  joinType: String = "inner"): DataFrame = {
+    // parity with the plain join holds only when unmatched SMALL-side rows
+    // never surface: right/full outer would emit each unmatched small row
+    // once PER SALT (it was replicated `salts` times). Restrict to the
+    // parity-safe set rather than silently duplicating.
+    val safe = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(safe.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin: joinType '$joinType' replicates unmatched small-side rows " +
+        s"once per salt — only ${safe.mkString("/")} preserve plain-join parity")
     val b = big.withColumn("__salt", salt(entropy, salts))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))

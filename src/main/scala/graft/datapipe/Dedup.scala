@@ -222,18 +222,55 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSim(a, b)
 
+  /** planes sized to the corpus: 2^planes buckets ≈ corpusSize /
+    * targetBucket members each (under the random-projection uniformity
+    * assumption), clamped to [4, 30]. A FIXED plane count is the scale
+    * hazard: at 10^9 vectors and 8 planes every bucket averages 4M members
+    * and the intra-bucket pair expansion goes quadratic. */
+  def planesFor(corpusSize: Long, targetBucket: Int = 64): Int = {
+    val want = math.ceil(math.log(
+      math.max(corpusSize.toDouble / targetBucket, 2.0)) / math.log(2.0)).toInt
+    math.min(math.max(want, 4), 30)
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, blocked by an LSH
     * sign-bucket (random-hyperplane sketch) so candidate generation is an
-    * equi-join, not a cross product. */
+    * equi-join, not a cross product.
+    *
+    * `maxBucket` guards the intra-bucket pair product exactly as
+    * [[lshCandidates]] does for text: real embedding corpora CLUSTER (they
+    * are nowhere near the orthogonal ideal), so one dense sign bucket
+    * otherwise goes quadratic on one reducer. Buckets above the cap are
+    * dropped — a bucket that dense is a degenerate region (zero vectors,
+    * template embeddings), not near-dup signal; raise `planes` (see
+    * [[planesFor]]) to keep expected bucket size under the cap. Pairs are
+    * expanded IN PLACE from cap-bounded bucket id-arrays (no self-join of
+    * the vector-carrying side); vectors are re-attached to the (much
+    * smaller) pair set by two equi-joins for the exact-cosine verify. */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, planes: Int = 8): DataFrame = {
+                        threshold: Double, planes: Int = 8,
+                        maxBucket: Int = 256): DataFrame = {
     val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.signBucket(col(vecCol), planes).as("bucket"))
-    val a = bucketed.toDF("id1", "v1", "bucket")
-    val b = bucketed.toDF("id2", "v2", "bucket")
-    a.join(b, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .localCheckpoint()
+    val ok = bucketed.groupBy("bucket").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket).select("bucket")
+    // each id lives in exactly ONE bucket → pairs are already distinct
+    val pairs = bucketed.select("id", "bucket").join(ok, Seq("bucket"))
+      .groupBy("bucket").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(least(x, y).as("id1"), greatest(x, y).as("id2"))))))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    val vecs = bucketed.select("id", "v")
+    pairs
+      .join(vecs.toDF("id1", "v1"), Seq("id1"))
+      .join(vecs.toDF("id2", "v2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

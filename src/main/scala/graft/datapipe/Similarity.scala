@@ -16,14 +16,24 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * maps md5 to ±1. */
+    * maps md5 to ±1. (Kept for the HOF parity test — the engine path is the
+    * native [[graft.functions.SignBucket]] expression.) */
   private def planeSign(p: Int, d: Column): Column =
     when(conv(substring(md5(concat(lit(p.toString), lit("_"), d.cast("string"))),
       1, 6), 16, 10).cast("long") % 2 === 0, 1.0).otherwise(-1.0)
 
   /** Random-hyperplane sign bucket: `planes` sign bits of the vector's dot
-    * products with deterministic ±1 hyperplanes. */
-  def signBucket(v: Column, planes: Int): Column = {
+    * products with deterministic ±1 hyperplanes. Native codegen'd
+    * expression — one fused primitive loop per row over a sign table
+    * precomputed once (the interpreted HOF chain it replaces re-derived
+    * planes × dims md5 signs per corpus row). */
+  def signBucket(v: Column, planes: Int): Column =
+    graft.functions.SignBucket(v, planes)
+
+  /** The original higher-order-function formulation, bit-identical by
+    * construction — retained ONLY as the parity oracle for the native
+    * expression (DatapipeSpec). */
+  private[graft] def signBucketHof(v: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val dot = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
@@ -82,36 +92,52 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Nearest-centroid assignment — the IVF build pass. Input `corpus` is
+    * (id, v); `cent` is the SMALL (cid, cv) dimension (broadcast). Scored
+    * once per (vector, centroid); the argmax is a TWO-PHASE hash aggregate
+    * (`max_by` over a (csim, -cid) struct — map-side combined, no shuffle
+    * sort), NOT a row_number window: the window formulation shuffled and
+    * sorted corpus × nCentroids rows into single-vector sort groups, a
+    * plan that dies at 10^9 vectors. Tie-break identical to the window it
+    * replaces: max rounded cosine, then MIN cid. */
+  def assignCells(corpus: DataFrame, cent: DataFrame): DataFrame =
+    corpus.join(broadcast(cent), lit(true))
+      .select(col("id"), col("v"), col("cid"),
+        round(Dedup.cosine(col("v"), col("cv")), 6).as("csim"))
+      .groupBy("id")
+      .agg(max_by(struct(col("v"), col("cid")),
+        struct(col("csim"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("id"), col("best.v").as("v"), col("best.cid").as("cid"))
+
   /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
-    * (one broadcast-join pass — the inverted-file build); each query scores
-    * only the `nProbe` centroid cells nearest to it. Centroid TRAINING is
-    * deliberately a deterministic seed rule (the first `nCentroids` corpus
-    * ids) — a k-means loop slots in where `centroids` is built, and the
-    * cell-assignment / multi-cell-probe / rank plumbing here is the part
-    * that must scale. Similarity values are rounded to 6 before argmax, so
-    * the assignment is engine-portable (the DuckDB oracle reproduces it).
-    * Output shape matches [[bruteForceTopK]]. */
+    * via [[assignCells]] (broadcast centroids, two-phase argmax — the
+    * inverted-file build); each query scores only the `nProbe` centroid
+    * cells nearest to it. Default centroids are a deterministic seed rule
+    * (the first `nCentroids` corpus ids) so the DuckDB oracle can reproduce
+    * the assignment; pass `centroids` from [[trainCentroids]] for a real
+    * k-means cell layout. Similarity values are rounded to 6 before argmax,
+    * so the assignment is engine-portable. Output shape matches
+    * [[bruteForceTopK]]. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16,
-              nProbe: Int = 2): DataFrame = {
-    val cent = broadcast(corpus
+              nProbe: Int = 2, centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = broadcast(centroids.getOrElse(corpus
       .filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    def nearestCells(df: DataFrame, id: String, vec: String, n: Int) = {
-      val w = Window.partitionBy(id)
-        .orderBy(col("csim").desc, col("cid").asc)
-      df.join(cent, lit(true)) // every vector × the SMALL broadcast centroid dim
-        .select(col(id), col(vec), col("cid"),
-          round(Dedup.cosine(col(vec), col("cv")), 6).as("csim"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("csim", "crank")
-    }
-    val cells = nearestCells(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v", 1)
-    val probes = nearestCells(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv", nProbe)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))))
+    val cells = assignCells(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), cent)
+    // query side keeps the rank window: nProbe > 1 needs top-n per query
+    // and the query set is the small side by contract
+    val w0 = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(cent, lit(true))
+      .select(col("query_id"), col("qv"), col("cid"),
+        round(Dedup.cosine(col("qv"), col("cv")), 6).as("csim"))
+      .withColumn("crank", row_number().over(w0))
+      .filter(col("crank") <= nProbe)
+      .drop("csim", "crank")
     val scored = probes.join(cells, Seq("cid"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
@@ -121,6 +147,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Bounded Lloyd's k-means over the embedding corpus — the centroid
+    * TRAINING pass that slots into [[ivfTopK]]'s `centroids` seam. Same
+    * kernel discipline as Canon.connectedComponents: broadcast the (small)
+    * centroid dim each iteration, assign with the two-phase argmax, refit
+    * with two-phase per-dimension mean aggregates (posexplode → avg —
+    * map-side combined, one narrow shuffle on (cid, pos)), and truncate
+    * lineage per iteration with localCheckpoint. Deterministic seeding (the
+    * k smallest ids); a cell that loses all members keeps its previous
+    * centroid. Returns (cid, cv). */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 5): DataFrame = {
+    val data = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint()
+    var cent = data.orderBy("id").limit(k)
+      .select((row_number().over(Window.orderBy("id")) - 1).cast("long").as("cid"),
+        col("v").as("cv"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val means = assignCells(data, cent)
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("nv"))
+      cent = cent.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** Mean quantization error of a centroid layout: avg(1 − cos(v, nearest
+    * centroid)) over the corpus — the objective Lloyd's descends; used by
+    * the training test and as the production index-quality probe. */
+  def quantizationError(corpus: DataFrame, cent: DataFrame,
+                        idCol: String, vecCol: String): Double =
+    assignCells(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+        broadcast(cent))
+      .join(broadcast(cent), Seq("cid"))
+      .agg(avg(lit(1.0) - Dedup.cosine(col("v"), col("cv"))))
+      .collect()(0).getDouble(0)
 
   /** Recall@k of an approximate top-k result against the exact one: per
     * query, |approx ∩ exact| / k. Both inputs are the (query_id, id, …)

@@ -50,6 +50,9 @@ case class SpanFields(child: Expression)
     val n = arr.numElements()
     // per-kind best (min-offset) text/ref; stats tracked per prefix
     val off = Array.fill(kinds.length)(Int.MaxValue)
+    // null offsets order LAST (sentinel MaxValue-1) but must SURFACE as
+    // null, not the sentinel — tracked separately from the ordering value
+    val offNull = new Array[Boolean](kinds.length)
     val text = new Array[UTF8String](kinds.length)
     val ref = new Array[UTF8String](kinds.length)
     val statOff = Array.fill(statPrefixes.length)(Int.MaxValue)
@@ -82,6 +85,7 @@ case class SpanFields(child: Expression)
                 found = true
                 if (o < off(k)) {
                   off(k) = o
+                  offNull(k) = row.isNullAt(iOff)
                   text(k) = if (row.isNullAt(iText)) null else row.getUTF8String(iText)
                   ref(k) = if (row.isNullAt(iRef)) null else row.getUTF8String(iRef)
                 }
@@ -98,7 +102,8 @@ case class SpanFields(child: Expression)
     while (k < kinds.length) {
       out(3 * k) = text(k)
       out(3 * k + 1) = ref(k)
-      out(3 * k + 2) = if (off(k) == Int.MaxValue) null else Integer.valueOf(off(k))
+      out(3 * k + 2) =
+        if (off(k) == Int.MaxValue || offNull(k)) null else Integer.valueOf(off(k))
       k += 1
     }
     var p = 0

@@ -34,6 +34,11 @@ object Canon {
         when(subjIsReligion, lit("宗教")).otherwise(lit("人物")))
       .otherwise(pred)
 
+  /** The union rule as a stable function VALUE — the default `labelRule`
+    * everywhere, and the identity the driver fast path checks (it only
+    * mirrors the UNION semantics). */
+  val unionLabelRule: (Column, Column) => Column = targetLabelExpr
+
   /** Same rule for the single-threaded oracle. */
   def targetLabel(pred: String, subjIsReligion: Boolean): String = pred match {
     case "机场" | "火车站" => "交通设施"
@@ -46,8 +51,13 @@ object Canon {
   }
 
   /** name → sorted label set, from CATEGORY_ZH triples (subjects,
-    * AbstractSubjectGraph.kt:19) + target-label rule (objects). */
-  def nodeLabels(kbTriples: DataFrame, categoryPred: String): DataFrame = {
+    * AbstractSubjectGraph.kt:19) + target-label rule (objects). The rule
+    * defaults to the engine's union-of-pipelines expression; a
+    * single-pipeline replay (CrawlMain) passes its own
+    * `Rules.PipelineRules.labelCol`. */
+  def nodeLabels(kbTriples: DataFrame, categoryPred: String,
+                 labelRule: (Column, Column) => Column = unionLabelRule)
+      : DataFrame = {
     val cat = kbTriples.filter(col("pred") === categoryPred)
       .select(col("subj").as("name"), col("obj").as("label"))
     val religious = cat.filter(col("label") === "宗教")
@@ -55,7 +65,7 @@ object Canon {
     val objLabels = kbTriples
       .join(broadcast(religious), Seq("subj"), "left")
       .select(col("obj").as("name"),
-        targetLabelExpr(col("pred"), coalesce(col("subj_rel"), lit(false))).as("label"))
+        labelRule(col("pred"), coalesce(col("subj_rel"), lit(false))).as("label"))
     cat.unionByName(objLabels)
       .groupBy("name").agg(sort_array(collect_set(col("label"))).as("labels"))
   }
@@ -169,12 +179,15 @@ object Canon {
     * names whose canonical differs are returned — the join side stays small). */
   def canonicalMap(kbTriples: DataFrame, categoryPred: String,
                    aliasPreds: Set[String],
-                   ccDriverThreshold: Long = 0L): DataFrame = {
+                   ccDriverThreshold: Long = 0L,
+                   labelRule: (Column, Column) => Column = unionLabelRule)
+      : DataFrame = {
     // fast path: the whole alias graph derives from the KB triples, which
     // are dictionary-bounded — when they fit the driver, one collect
     // replaces the label/blocking/CC dataflow (which remains the unbounded
     // path and is parity-tested against this one in KgParitySpec)
-    if (ccDriverThreshold > 0 && kbTriples.count() <= ccDriverThreshold) {
+    if (ccDriverThreshold > 0 && (labelRule eq unionLabelRule) &&
+        kbTriples.count() <= ccDriverThreshold) {
       val spark = kbTriples.sparkSession
       import spark.implicits._
       val rows = kbTriples.select("subj", "pred", "obj")
@@ -212,7 +225,7 @@ object Canon {
       }
     }
 
-    val labels = nodeLabels(kbTriples, categoryPred)
+    val labels = nodeLabels(kbTriples, categoryPred, labelRule)
     val aliasEdges = kbTriples
       .filter(col("pred").isin(aliasPreds.toSeq: _*))
       .select(col("subj").as("a"), col("obj").as("b"))

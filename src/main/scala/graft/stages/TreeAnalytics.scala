@@ -68,6 +68,10 @@ object TreeAnalytics {
         level += 1
       }
     }
+    // every per-level pass is checkpointed → the edge cache is dead weight
+    // after the loop; a long-lived session running many tree jobs would
+    // otherwise accumulate one pinned edge set per call
+    e.unpersist()
     labeled
   }
 
@@ -152,24 +156,43 @@ object TreeAnalytics {
     * on the (small) one-row-per-root frontier. Output: (root, depth, path)
     * with path = "root, …, leaf". */
   def longestPath(blogEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val maxDepth = labels.agg(max("level")).collect()(0).getInt(0)
+    // the walk only ever touches nodes of trees with depth ≥ 1 — restrict
+    // the per-level join input to them once, instead of joining the FULL
+    // edge set at every level (at lake scale most nodes sit in shallow
+    // trees; this is the difference between O(depth × |edges|) and
+    // O(depth × |deep-tree edges|) join work)
+    val deepRoots = treeDepths(labels).filter(col("depth") >= 1).select("root")
     val parentOf = blogEdges.filter(col("repost_id").isNotNull)
       .select(col("mid"), col("repost_id").as("parent"))
-    val maxDepth = labels.agg(max("level")).collect()(0).getInt(0)
-    var walk = deepestLeaf(labels)
+      .join(labels.join(deepRoots, Seq("root"), "left_semi").select("mid"),
+        Seq("mid"), "left_semi")
+      .localCheckpoint()
+    val start = deepestLeaf(labels)
       .select(col("root"), col("depth"), col("leaf").as("cur"),
         array(col("leaf")).as("path"))
-    (0 until maxDepth).foreach { _ =>
-      walk = walk
+    // finished/active split: a depth-0 tree (or a walk that reached its
+    // root) drops out of the join immediately — the per-level join's left
+    // side shrinks as chains complete
+    var finished = start.filter(col("cur") === col("root")).localCheckpoint()
+    var active = start.filter(col("cur") =!= col("root")).localCheckpoint()
+    var level = 0
+    while (level < maxDepth && !active.isEmpty) {
+      val stepped = active
         .join(parentOf.withColumnRenamed("mid", "cur"), Seq("cur"), "left")
         .select(col("root"), col("depth"),
-          // stop climbing once the root is reached (parent null or at root)
-          when(col("cur") === col("root"), col("cur"))
-            .otherwise(coalesce(col("parent"), col("cur"))).as("next"),
-          when(col("cur") =!= col("root") && col("parent").isNotNull,
-            concat(array(col("parent")), col("path"))).otherwise(col("path")).as("path"))
-        .withColumnRenamed("next", "cur")
+          coalesce(col("parent"), col("cur")).as("cur"),
+          when(col("parent").isNotNull,
+            concat(array(col("parent")), col("path"))).otherwise(col("path"))
+            .as("path"))
         .localCheckpoint()
+      finished = finished.union(stepped.filter(col("cur") === col("root")))
+      active = stepped.filter(col("cur") =!= col("root")).localCheckpoint()
+      level += 1
     }
-    walk.select(col("root"), col("depth"), concat_ws(", ", col("path")).as("path"))
+    // stranded walks (inconsistent edges — parent never reached the root)
+    // surface as-is, exactly as the fixed-iteration formulation left them
+    finished.union(active)
+      .select(col("root"), col("depth"), concat_ws(", ", col("path")).as("path"))
   }
 }

@@ -50,6 +50,16 @@ class BucketingSpec extends AnyFunSuite {
       s"groupBy on the bucket key still shuffles:\n$plan")
   }
 
+  test("q_bucketed_join is hermetic: back-to-back runs on one machine both succeed") {
+    // round-2 regression: a FIXED warehouse location threw
+    // LOCATION_ALREADY_EXISTS on any rerun; the query must own per-run state
+    val sf = "/root/testdata/sf0.001"
+    val r1 = SparkEntry.queries("q_bucketed_join")(spark, sf).collect()
+    val r2 = SparkEntry.queries("q_bucketed_join")(spark, sf).collect()
+    assert(r1.nonEmpty)
+    assert(r1.map(_.toString).sorted.toSeq === r2.map(_.toString).sorted.toSeq)
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     Bucketing.writeBucketed(
       (0L until 100L).map(i => (i, i % 7)).toDF("mid", "tag"),

@@ -131,6 +131,84 @@ class DatapipeSpec extends AnyFunSuite {
     assert(dups.exists(d => d._1 == 100L && d._2 == 101L))
   }
 
+  test("native sign bucket ≡ the HOF formulation, bit for bit") {
+    val r = new java.util.Random(11)
+    val embs = (0L until 300L).map { i =>
+      (i, Seq.fill(24)(r.nextGaussian()))
+    }.toDF("vec_id", "v")
+    Seq(1, 4, 8, 16).foreach { planes =>
+      val both = embs.select(col("vec_id"),
+        Similarity.signBucket(col("v"), planes).as("native"),
+        Similarity.signBucketHof(col("v"), planes).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() === 0,
+        s"sign-bucket divergence at planes=$planes")
+    }
+  }
+
+  test("near-dup dense-bucket guard bounds the pair expansion") {
+    // 400 copies of one direction land in ONE sign bucket — the quadratic
+    // hazard class. With maxBucket below the clump the bucket is dropped
+    // (pair count bounded); the sparse pair elsewhere still surfaces.
+    val r = new java.util.Random(13)
+    val dir = Seq.fill(16)(r.nextGaussian())
+    val clump = (0L until 400L).map(i =>
+      (i, dir.map(x => x * (1.0 + 0.0001 * i))))
+    val other = Seq.fill(16)(r.nextGaussian())
+    val pairDocs = Seq((900L, other), (901L, other.map(_ * 1.0001)))
+    val embs = (clump ++ pairDocs).toDF("vec_id", "v")
+    val guarded = Dedup.embeddingNearDups(embs, "vec_id", "v", 0.99,
+      planes = 6, maxBucket = 64)
+      .as[(Long, Long, Double)].collect()
+    // the 400-member bucket would emit ~80k pairs unguarded
+    assert(guarded.length < 2100, s"guard failed: ${guarded.length} pairs")
+    assert(guarded.exists(d => d._1 == 900L && d._2 == 901L),
+      "sparse-bucket pair lost to the guard")
+    // and with the cap above the clump size the pairs come back
+    val open = Dedup.embeddingNearDups(embs, "vec_id", "v", 0.99,
+      planes = 6, maxBucket = 500)
+      .as[(Long, Long, Double)].collect()
+    assert(open.length > 70000, s"uncapped run should see the clump: ${open.length}")
+  }
+
+  test("planesFor sizes the bucket space to the corpus") {
+    assert(Dedup.planesFor(1000, 64) === 4)
+    assert(Dedup.planesFor(1000000, 64) === 14)
+    assert(Dedup.planesFor(1000000000L, 64) === 24)
+    assert(Dedup.planesFor(10, 64) === 4)   // floor
+    assert(Dedup.planesFor(Long.MaxValue, 1) === 30) // ceiling
+  }
+
+  test("k-means centroid training: error descends, recall beats seed centroids") {
+    // 4 planted clusters; ids 0..3 (the SEED centroids) all sit in cluster 0
+    // so the seed layout starts degenerate and training must spread out
+    val r = new java.util.Random(17)
+    val centers = (0 until 4).map(c =>
+      Seq.tabulate(12)(d => if (d % 4 == c) 5.0 else 0.0))
+    val embs = (0L until 160L).map { i =>
+      val c = if (i < 4) 0 else (i % 4).toInt
+      (i, centers(c).map(x => x + 0.3 * r.nextGaussian()))
+    }.toDF("vec_id", "v").localCheckpoint()
+    val seed = embs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val trained = Similarity.trainCentroids(embs, "vec_id", "v", k = 4, iters = 6)
+    val errSeed = Similarity.quantizationError(embs, seed, "vec_id", "v")
+    val errTrained = Similarity.quantizationError(embs, trained, "vec_id", "v")
+    assert(errTrained < errSeed,
+      f"training did not descend: $errTrained%.4f vs seed $errSeed%.4f")
+    val qs = embs.filter(col("vec_id") >= 150)
+    val exact = Similarity.bruteForceTopK(qs, embs, "vec_id", "v", 10)
+    def meanRecall(cent: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(
+        Similarity.ivfTopK(qs, embs, "vec_id", "v", 10, nCentroids = 4,
+          nProbe = 1, centroids = Some(cent)), exact, 10)
+        .agg(avg("recall")).collect()(0).getDouble(0)
+    val recallSeed = meanRecall(seed)
+    val recallTrained = meanRecall(trained)
+    assert(recallTrained > recallSeed,
+      f"trained recall $recallTrained%.3f ≤ seed recall $recallSeed%.3f")
+    assert(recallTrained > 0.9, f"trained recall too low: $recallTrained%.3f")
+  }
+
   test("text stats / quality / langid expressions") {
     val row = docs.filter(col("doc_id") === 0).select(
       TextStats.tokenCount(col("text")).as("n"),

@@ -52,4 +52,41 @@ class PipelineRulesSpec extends AnyFunSuite {
     // union of recursion sets = the engine default
     assert(Rules.pipelines.map(_.recursive).reduce(_ ++ _) === Rules.recursivePreds)
   }
+
+  test("labelCol column rules agree with the targetLabels functions") {
+    import org.apache.spark.sql.functions.col
+    val preds = Seq("机场", "火车站", "现任领导", "创办人", "创始人", "开发商",
+      "发行商", "主办单位", "开发公司", "教派", "学派", "所属宗教", "隶属",
+      "主要人物", "别名", "俗称", "别称", "又名", "面积", "著名景点")
+    val d = preds.flatMap(p => Seq((p, true), (p, false))).toDF("pred", "subj_rel")
+    Rules.pipelines.foreach { pr =>
+      d.select(col("pred"), col("subj_rel"),
+          pr.labelCol(col("pred"), col("subj_rel")).as("label"))
+        .as[(String, Boolean, String)].collect()
+        .foreach { case (p, rel, label) =>
+          val want = pr.targetLabels(if (rel) Set("宗教") else Set.empty, p)
+          assert(want === Set(label), s"${pr.name}: pred=$p subjRel=$rel")
+        }
+    }
+  }
+
+  test("CrawlMain single-pipeline replay runs end-to-end with its own label rule") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val cfg = graft.gen.Corpus.Config(nDocs = 150, nEntities = 60, seed = 42L)
+    val (kbG, labelsG, _) = CrawlMain.run(spark, Rules.government, cfg)
+    assert(kbG.count() > 0)
+    val gLabels = labelsG.select(explode(col("labels")).as("l"))
+      .as[String].collect().toSet
+    // government fallthrough keeps the relation name — never the literal
+    assert(!gLabels.contains("relation"))
+    val (kbR, labelsR, canonR) = CrawlMain.run(spark, Rules.religion, cfg)
+    assert(kbR.count() > 0)
+    val rLabels = labelsR.select(explode(col("labels")).as("l"))
+      .as[String].collect().toSet
+    // religion's ReligionGraph.kt:36 quirk: fallthrough IS the literal
+    assert(rLabels.contains("relation"))
+    // canonical map shape: (name, comp), comp lexicographically ≤ name
+    val canon = canonR.as[(String, String)].collect()
+    assert(canon.forall { case (n, c) => c < n })
+  }
 }

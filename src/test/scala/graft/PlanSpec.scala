@@ -2,6 +2,7 @@ package graft
 
 import graft.datapipe.Dedup
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions — the shapes that decide 100 TB behavior:
@@ -46,6 +47,41 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Dedup.embeddingNearDups(embs, "vec_id", "v", 0.5, planes = 4))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"near-dup blocking degenerated to a product join:\n$p")
+    // the guard must be IN the plan: a count aggregate feeding the bucket
+    // join (dense buckets filtered before any pair expansion), and the pair
+    // source is the bounded collect_list arrays, not a bucket self-join of
+    // the vector-carrying stream
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"no bucket-count guard aggregate in the near-dup plan:\n$p")
+    assert(p.contains("collect_list"),
+      s"pair expansion is not array-bounded:\n$p")
+  }
+
+  test("IVF cell assignment is a two-phase hash aggregate, not a window sort") {
+    val embs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "v")
+    val corpus = embs.select(col("vec_id").as("id"), col("v"))
+    val cent = embs.limit(2).select(col("vec_id").as("cid"), col("v").as("cv"))
+    val p = plan(graft.datapipe.Similarity.assignCells(corpus, cent))
+    assert(!p.contains("Window"),
+      s"corpus-side argmax regressed to a row_number window:\n$p")
+    assert(p.contains("max_by") || p.contains("HashAggregate") ||
+      p.contains("ObjectHashAggregate"),
+      s"no aggregate argmax in the assignment plan:\n$p")
+  }
+
+  test("native sign bucket stays inside whole-stage codegen") {
+    // parquet-backed source — a literal local DF constant-folds to a
+    // LocalTableScan and proves nothing about the projection
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+    val df = embs.select(
+      graft.datapipe.Similarity.signBucket(col("v"), 8).as("b"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"sign-bucket projection fell out of codegen:\n$p")
   }
 
   test("top-bigram fraction aggregates partially before the shuffle") {

@@ -42,6 +42,21 @@ class SkewSpec extends AnyFunSuite {
     assert(counts.max < counts.sum, "one salt still owns everything")
   }
 
+  test("parity-unsafe join types are rejected, semi/anti accepted") {
+    // right/full outer would emit each unmatched small-side row once per
+    // salt — the API refuses instead of silently duplicating
+    Seq("right", "full", "full_outer", "right_outer").foreach { jt =>
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(big, small, "key", col("row_id"), salts = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("parity"), s"wrong error for $jt")
+    }
+    val semi = Skew.saltedJoin(big, small, "key", col("row_id"),
+      salts = 4, joinType = "left_semi")
+    val plainSemi = big.join(small, Seq("key"), "left_semi")
+    assert(semi.except(plainSemi).isEmpty && plainSemi.except(semi).isEmpty)
+  }
+
   test("salted count ≡ plain count per key") {
     val plain = big.groupBy("key").agg(count(lit(1)).as("n"))
     val salted = Skew.saltedCount(big, "key", col("row_id"), salts = 8)

@@ -65,6 +65,20 @@ class SpanFieldsSpec extends AnyFunSuite {
     assert(r.getAs[String]("text_text") === "ok")
   }
 
+  test("a winning span with null offset surfaces *_off as NULL, not a sentinel") {
+    // regression (review finding): the sentinel Int.MaxValue-1 used for
+    // ORDERING must never LEAK into the output offset
+    val r = sf(Seq(("text", "only", null, null.asInstanceOf[Integer])))
+    assert(r.getAs[String]("text_text") === "only")
+    assert(r.getAs[Any]("text_off") === null)
+    // null offsets order LAST: a real-offset span still wins
+    val r2 = sf(Seq(
+      ("text", "nulloff", null, null.asInstanceOf[Integer]),
+      ("text", "real", null, 7)))
+    assert(r2.getAs[String]("text_text") === "real")
+    assert(r2.getAs[Int]("text_off") === 7)
+  }
+
   test("parity with the higher-order formulation on a fuzzed batch") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
@@ -74,7 +88,12 @@ class SpanFieldsSpec extends AnyFunSuite {
       (0 until n).map { j =>
         val k = kinds(rnd.nextInt(kinds.length))
         val t = if (k == "stat") s"转发 ${rnd.nextInt(100)}" else s"v$j"
-        (k, t, s"r$j", Integer.valueOf(rnd.nextInt(10)))
+        // at most one null offset per row (j == 0) — nulls order LAST and a
+        // second same-kind null-offset span would make the oracle's
+        // (unstable) sort ambiguous
+        val off = if (j == 0 && rnd.nextInt(3) == 0) null
+          else Integer.valueOf(rnd.nextInt(10))
+        (k, t, s"r$j", off)
       }
     }
     val schema = StructType(Seq(StructField("spans", spanType)))
@@ -88,9 +107,12 @@ class SpanFieldsSpec extends AnyFunSuite {
     assert(viaSf.collect().toSeq.map(_.toSeq) === sorted.collect().toSeq.map(_.toSeq))
   }
 
-  /** the old HOF formulation, kept here as the parity oracle */
+  /** the old HOF formulation, kept here as the parity oracle (null offsets
+    * sort last, mirroring the engine's ordering rule) */
   private def Normalize_sortedFirst(d: org.apache.spark.sql.DataFrame) = {
-    val sp = graft.stages.Normalize.spansSorted(col("spans"))
+    val sp = array_sort(col("spans"), (l, r) =>
+      coalesce(l.getField("offset"), lit(Int.MaxValue - 1)) -
+        coalesce(r.getField("offset"), lit(Int.MaxValue - 1)))
     def firstOf(kind: String) =
       get(filter(sp, s => s.getField("kind") === kind), lit(0))
     d.select(

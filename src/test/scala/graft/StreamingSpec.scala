@@ -90,6 +90,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === streamed.filter(_._1 != "C"))
   }
 
+  test("driver query q_sessionize_stream ≡ q_sessionize (stream path in the gate)") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q_sessionize_stream")(spark, sf)
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf)
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("watermarked tumbling windows finalize in append mode") {
     import graft.streaming.Windowed
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
