@@ -84,4 +84,27 @@ class TreeAnalyticsSpec extends AnyFunSuite {
       .as[(String, Int, String)].collect().toSet
     assert(p === Set(("t", 1, "t, x")))
   }
+
+  test("longestPath walk-up joins see only deep-tree edges") {
+    // a forest dominated by depth-0 singletons: the per-level join input
+    // must shrink to the one deep tree's edges, not the full edge set
+    val singles = (0 until 500).map(i => (s"s$i", null.asInstanceOf[String]))
+    val chain = Seq(("c0", null.asInstanceOf[String]), ("c1", "c0"), ("c2", "c1"))
+    val e = (singles ++ chain).toDF("mid", "repost_id")
+    val labels = TreeAnalytics.rootsAndLevels(e)
+    // the restriction longestPath computes internally: labels of deep roots
+    val deepRoots = TreeAnalytics.treeDepths(labels)
+      .filter(col("depth") >= 1).select("root")
+    val walkInput = e.filter(col("repost_id").isNotNull)
+      .select(col("mid"), col("repost_id").as("parent"))
+      .join(labels.join(deepRoots, Seq("root"), "left_semi").select("mid"),
+        Seq("mid"), "left_semi")
+    assert(walkInput.count() === 2) // c1→c0, c2→c1 only
+    // and the output is still exactly right across the mixed forest
+    val out = TreeAnalytics.longestPath(e, labels)
+      .as[(String, Int, String)].collect()
+    assert(out.length === 501)
+    assert(out.contains(("c0", 2, "c0, c1, c2")))
+    assert(out.count(_._2 == 0) === 500)
+  }
 }
