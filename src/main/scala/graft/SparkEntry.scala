@@ -308,6 +308,17 @@ object SparkEntry {
         Dedup.lshBandsMd5(docs, "doc_id", "text", 8, 4, 3), maxBucket = 64)
       Dedup.jaccardVerify(cands, docs, "doc_id", "text", 0.7)
     }),
+    "q_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: flag corpus docs sharing any word n-gram
+      // with an eval set. The "benchmark" here is 8-token snippets lifted
+      // from every 50th doc — planted contamination the scrub must find.
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 8)).as("text"))
+      Dedup.decontaminate(docs, bench, "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_hits"), col("first_gram"))
+    }),
     "q_lsh_candidates" -> ((s, d) =>
       // md5 hash family (oracle-reproducible); the bucket-size guard makes
       // the UNCAPPED input tractable even on the dense synthetic vocab
@@ -357,8 +368,10 @@ object SparkEntry {
         .filter(col("vec_id") < 500)
         .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       // synthetic embeddings are random (near-orthogonal); 0.3 exercises the
-      // bucket-join + verify path with a non-empty result
-      Dedup.embeddingNearDups(embs, "vec_id", "v", threshold = 0.3, planes = 4)
+      // bucket-join + verify path with a non-empty result. planesFor(500)=4
+      // — the corpus-sized bucket-space rule, matching the oracle's planes=4
+      Dedup.embeddingNearDups(embs, "vec_id", "v", threshold = 0.3,
+        planes = Dedup.planesFor(500))
     }),
 
     // ---- multimodal plumbing ---------------------------------------------------
@@ -567,6 +580,20 @@ object SparkEntry {
         "FROM h, unnest(generate_series(0, 15)) AS u(i) GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1"),
     "q_lsh_candidates" -> lshCandidatesSql,
+    "q_decontaminate" ->
+      ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "bt AS (SELECT array_to_string(toks[1:8], ' ') AS btext FROM tk WHERE doc_id % 50 = 0), " +
+        "btk AS (SELECT string_split_regex(trim(btext), '\\s+') AS toks FROM bt), " +
+        "bg AS (SELECT CASE WHEN len(toks) >= 5 " +
+        "THEN list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' ')) " +
+        "ELSE [array_to_string(toks, ' ')] END AS gs FROM btk), " +
+        "bh AS (SELECT DISTINCT md5(u.g) AS gh FROM bg CROSS JOIN unnest(gs) AS u(g)), " +
+        "cg AS (SELECT doc_id, CASE WHEN len(toks) >= 5 " +
+        "THEN list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' ')) " +
+        "ELSE [array_to_string(toks, ' ')] END AS gs FROM tk), " +
+        "ce AS (SELECT doc_id, u.g, md5(u.g) AS gh FROM cg CROSS JOIN unnest(gs) AS u(g)) " +
+        "SELECT ce.doc_id, count(DISTINCT ce.gh) AS n_hits, min(ce.g) AS first_gram " +
+        "FROM ce JOIN bh USING (gh) GROUP BY 1"),
     "q_jaccard_pairs" ->
       (lshCtes +
         ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +

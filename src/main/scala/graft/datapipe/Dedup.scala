@@ -213,6 +213,35 @@ object Dedup {
           s => s.getField("para")), " ").as("kept_text"))
   }
 
+  // ---- benchmark decontamination ------------------------------------------
+
+  /** Training-corpus decontamination against a benchmark/eval set: flag
+    * every document sharing at least one word `n`-gram with any benchmark
+    * text (the standard n-gram-overlap rule used for pre-training data
+    * hygiene; n = 13 is the common choice, lowered here only when callers
+    * test with short texts). Returns one row per CONTAMINATED doc:
+    * (id, n_hits, first_gram) — n_hits = how many distinct contaminated
+    * n-grams, first_gram = lexicographically-first overlapping gram (the
+    * audit trail a scrub report needs).
+    *
+    * Scale shape: both sides explode to md5 n-gram keys; the benchmark side
+    * is the SMALL side (an eval suite is a few thousand docs even when the
+    * corpus is 10^12) and is distinct-reduced before the join, so Catalyst
+    * broadcasts it and the corpus side streams through map-side — one scan,
+    * no corpus shuffle except the final per-doc count aggregate. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame, id: Column) = df
+      .select(id.as("id"), explode(shingles(col(textCol), n)).as("g"))
+      .select(col("id"), col("g"), md5(col("g")).as("gh"))
+    val bench = broadcast(
+      grams(benchmark, col(idCol)).select("gh").distinct())
+    grams(docs, col(idCol))
+      .join(bench, Seq("gh"), "left_semi")
+      .groupBy("id")
+      .agg(count_distinct(col("gh")).as("n_hits"), min(col("g")).as("first_gram"))
+  }
+
   // ---- embedding cosine ----------------------------------------------------------
 
   /** Cosine similarity of two double-array columns — native codegen'd

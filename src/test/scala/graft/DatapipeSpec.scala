@@ -131,6 +131,22 @@ class DatapipeSpec extends AnyFunSuite {
     assert(dups.exists(d => d._1 == 100L && d._2 == 101L))
   }
 
+  test("decontamination flags n-gram overlap with the benchmark, nothing else") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"), // contains bench gram
+      (1L, "one two three four five six seven eight nine"),  // clean
+      (2L, "x y alpha beta gamma delta epsilon pad pad"),    // shifted overlap
+      (3L, "alpha beta gamma pad delta epsilon zeta"))       // broken gram — clean at n=5
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(hits.map(_._1).toSeq === Seq(0L, 2L))
+    assert(hits.forall(_._3 === "alpha beta gamma delta epsilon"))
+    assert(hits.forall(_._2 === 1L))
+  }
+
   test("native sign bucket ≡ the HOF formulation, bit for bit") {
     val r = new java.util.Random(11)
     val embs = (0L until 300L).map { i =>

@@ -84,6 +84,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"sign-bucket projection fell out of codegen:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark gram set — no corpus shuffle join") {
+    val p = plan(SparkEntry.queries("q_decontaminate")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark side not a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side shuffled for the benchmark join:\n$p")
+  }
+
   test("top-bigram fraction aggregates partially before the shuffle") {
     // the (doc, bigram) count must map-side combine: a partial HashAggregate
     // below the Exchange, so rows shuffled are (doc, DISTINCT bigram), not
