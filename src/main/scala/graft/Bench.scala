@@ -148,9 +148,10 @@ object Bench {
     // 4M docs: the serial driver latency (~4 s of dim-phase jobs + AQE
     // planning gaps) is a fixed cost; at a 25 s wide-side wall it bounds
     // measurable efficiency near 0.75 no matter how well the parallel part
-    // scales. A ~150 s / ~42 s job pair measures the PARALLEL fraction a
-    // real multi-hour 100 TB run actually has. Two pairs (wide side
-    // min-of-2 each) keep total bench wall where three 2M pairs were.
+    // scales. A ~130 s / ~37 s job pair measures the PARALLEL fraction a
+    // real multi-hour 100 TB run actually has. Wall budget under the
+    // symmetric policy: each pair ≈ runs·(130 + 37) s of measured work, so
+    // defaults (2 pairs × min-of-2) ≈ 11 min of samples plus warmups.
 
     // SPARK_GRAFT_HEADLINE=0 → scaling-only probe invocation (used to
     // collect extra builder-side efficiency samples inside a bounded wall;

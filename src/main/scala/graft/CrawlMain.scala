@@ -29,11 +29,14 @@ object CrawlMain {
       KgPipeline.textSpans(CorpusData.docsDF(spark, cfg)),
       dict.select("mention").distinct().collect().map(_.getString(0)).toSeq)
       .select("mention").distinct()
+    // the BFS expansion is consumed by several downstream actions (labels,
+    // alias edges, the caller's counts) — materialize it once
     val kb = KbExpand.expand(spark, mentions, dict,
-      CorpusData.avpairDF(spark, cfg), rules.recursive)
+      CorpusData.avpairDF(spark, cfg), rules.recursive).localCheckpoint()
     val labels = Canon.nodeLabels(kb, Rules.categoryPred, rules.labelCol)
+      .localCheckpoint()
     val canon = Canon.canonicalMap(kb, Rules.categoryPred, Rules.aliasPreds,
-      labelRule = rules.labelCol)
+      labelRule = rules.labelCol, precomputedLabels = Some(labels))
     (kb, labels, canon)
   }
 

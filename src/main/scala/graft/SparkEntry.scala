@@ -191,6 +191,8 @@ object SparkEntry {
         .select(col("event_type").cast("string").as("key"),
           col("ts").cast("timestamp").as("ts"))
         .as[Sessionize.Ev].collect()
+      if (evs.isEmpty) s.emptyDataset[Sessionize.Session].toDF()
+      else {
       val maxTs = evs.iterator.map(_.ts.getTime).max
       val qname = "graft_sessionize_stream"
       s.catalog.dropTempView(qname)
@@ -203,11 +205,12 @@ object SparkEntry {
         query.processAllAvailable()
         // one far-future sentinel advances the (global) watermark past every
         // open session's gap so the event-time timeouts close them all
-        stream.addData(Seq(Sessionize.Ev(" wm",
+        stream.addData(Seq(Sessionize.Ev(" wm",
           new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000))))
         query.processAllAvailable()
       } finally query.stop()
-      s.table(qname).filter(col("key") =!= " wm")
+      s.table(qname).filter(col("key") =!= " wm")
+      }
     }),
 
     // ---- training-data ops: text ---------------------------------------------
@@ -242,7 +245,18 @@ object SparkEntry {
       // location is a fresh per-run temp dir — a fixed /tmp path cost this
       // query its round-2 correctness row (LOCATION_ALREADY_EXISTS on rerun)
       s.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
-      val wh = java.nio.file.Files.createTempDirectory("graft-bkt-wh")
+      // fixed parent, wiped each invocation (covers leftovers from OTHER
+      // processes too — a fresh temp dir per run would accumulate bucketed
+      // table copies in /tmp), then a unique per-run subdir under it
+      val parent = java.nio.file.Paths.get("/tmp/graft-bkt-wh-runs")
+      if (java.nio.file.Files.exists(parent)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(parent).sorted(
+          java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      java.nio.file.Files.createDirectories(parent)
+      val wh = java.nio.file.Files.createTempDirectory(parent, "run")
       java.nio.file.Files.delete(wh) // CREATE DATABASE owns (and creates) it
       s.sql(s"CREATE DATABASE graft_bkt LOCATION '${wh.toString}'")
       val spec = Bucketing.BucketSpec("custkey", 8)

@@ -294,6 +294,10 @@ object Dedup {
           y => struct(least(x, y).as("id1"), greatest(x, y).as("id2"))))))
         .as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      // a duplicated id (non-unique id column) appears twice in one bucket
+      // array and would expand to a (x, x) self-pair — the strict inequality
+      // mirrors the oracle's a.id < b.id predicate
+      .filter(col("id1") < col("id2"))
     val vecs = bucketed.select("id", "v")
     pairs
       .join(vecs.toDF("id1", "v1"), Seq("id1"))

@@ -105,9 +105,10 @@ object Similarity {
       .select(col("id"), col("v"), col("cid"),
         round(Dedup.cosine(col("v"), col("cv")), 6).as("csim"))
       .groupBy("id")
-      .agg(max_by(struct(col("v"), col("cid")),
+      .agg(max_by(struct(col("v"), col("cid"), col("csim")),
         struct(col("csim"), (-col("cid")).as("nc"))).as("best"))
-      .select(col("id"), col("best.v").as("v"), col("best.cid").as("cid"))
+      .select(col("id"), col("best.v").as("v"), col("best.cid").as("cid"),
+        col("best.csim").as("csim"))
 
   /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
     * via [[assignCells]] (broadcast centroids, two-phase argmax — the
@@ -184,10 +185,8 @@ object Similarity {
     * the training test and as the production index-quality probe. */
   def quantizationError(corpus: DataFrame, cent: DataFrame,
                         idCol: String, vecCol: String): Double =
-    assignCells(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
-        broadcast(cent))
-      .join(broadcast(cent), Seq("cid"))
-      .agg(avg(lit(1.0) - Dedup.cosine(col("v"), col("cv"))))
+    assignCells(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), cent)
+      .agg(avg(lit(1.0) - col("csim")))
       .collect()(0).getDouble(0)
 
   /** Recall@k of an approximate top-k result against the exact one: per

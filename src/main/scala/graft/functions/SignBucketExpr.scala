@@ -65,6 +65,14 @@ case class SignBucket(child: Expression, planes: Int) extends UnaryExpression {
   /** One row: planes dot products over the precomputed sign table. */
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
+    // HOF parity: a null ELEMENT null-propagates through zip_with/aggregate,
+    // so every plane's dot is null and when(dot >= 0).otherwise(0) yields
+    // bucket 0 — mirror that instead of silently reading the slot as 0.0
+    var c = 0
+    while (c < n) {
+      if (arr.isNullAt(c)) return 0L
+      c += 1
+    }
     val (dims, signs) = signTable(n)
     var bucket = 0L
     var p = 0

@@ -180,7 +180,8 @@ object Canon {
   def canonicalMap(kbTriples: DataFrame, categoryPred: String,
                    aliasPreds: Set[String],
                    ccDriverThreshold: Long = 0L,
-                   labelRule: (Column, Column) => Column = unionLabelRule)
+                   labelRule: (Column, Column) => Column = unionLabelRule,
+                   precomputedLabels: Option[DataFrame] = None)
       : DataFrame = {
     // fast path: the whole alias graph derives from the KB triples, which
     // are dictionary-bounded — when they fit the driver, one collect
@@ -225,7 +226,8 @@ object Canon {
       }
     }
 
-    val labels = nodeLabels(kbTriples, categoryPred, labelRule)
+    val labels = precomputedLabels.getOrElse(
+      nodeLabels(kbTriples, categoryPred, labelRule))
     val aliasEdges = kbTriples
       .filter(col("pred").isin(aliasPreds.toSeq: _*))
       .select(col("subj").as("a"), col("obj").as("b"))

@@ -141,12 +141,15 @@ object TreeAnalytics {
   /** G4 — deepest chain endpoint per root (Blog.kt:80–89's longestPath tip;
     * the interactive-analysis surface). Deterministic tie-break: smallest
     * mid at the deepest level. */
-  def deepestLeaf(labels: DataFrame): DataFrame = {
-    val depths = treeDepths(labels)
+  def deepestLeaf(labels: DataFrame): DataFrame =
+    deepestLeaf(labels, treeDepths(labels))
+
+  /** Overload reusing an already-computed depth table (longestPath computes
+    * it once and feeds both the deep-root filter and the leaf selection). */
+  def deepestLeaf(labels: DataFrame, depths: DataFrame): DataFrame =
     labels.join(depths, Seq("root"))
       .filter(col("level") === col("depth"))
       .groupBy("root").agg(min("mid").as("leaf"), max("level").as("depth"))
-  }
 
   /** G4 (full) — the root→leaf mid CHAIN of each tree's longest path
     * (Blog.kt:80–89 returns the whole path, recursing into the deepest
@@ -162,13 +165,14 @@ object TreeAnalytics {
     // edge set at every level (at lake scale most nodes sit in shallow
     // trees; this is the difference between O(depth × |edges|) and
     // O(depth × |deep-tree edges|) join work)
-    val deepRoots = treeDepths(labels).filter(col("depth") >= 1).select("root")
+    val depths = treeDepths(labels).localCheckpoint()
+    val deepRoots = depths.filter(col("depth") >= 1).select("root")
     val parentOf = blogEdges.filter(col("repost_id").isNotNull)
       .select(col("mid"), col("repost_id").as("parent"))
       .join(labels.join(deepRoots, Seq("root"), "left_semi").select("mid"),
         Seq("mid"), "left_semi")
       .localCheckpoint()
-    val start = deepestLeaf(labels)
+    val start = deepestLeaf(labels, depths)
       .select(col("root"), col("depth"), col("leaf").as("cur"),
         array(col("leaf")).as("path"))
     // finished/active split: a depth-0 tree (or a walk that reached its
