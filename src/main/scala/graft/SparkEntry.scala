@@ -322,6 +322,16 @@ object SparkEntry {
         Dedup.lshBandsMd5(docs, "doc_id", "text", 8, 4, 3), maxBucket = 64)
       Dedup.jaccardVerify(cands, docs, "doc_id", "text", 0.7)
     }),
+    "q_dedup_clusters" -> ((s, d) => {
+      // the COMPLETE fuzzy-dedup scrub: LSH blocking → exact Jaccard verify
+      // → transitive closure → (doc, keeper) map
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBandsMd5(docs, "doc_id", "text", 8, 4, 3), maxBucket = 64)
+      val verified = Dedup.jaccardVerify(cands, docs, "doc_id", "text", 0.7)
+      Dedup.dedupClusters(verified.select("id1", "id2"))
+        .select(col("id").as("doc_id"), col("keep_id"))
+    }),
     "q_decontaminate" -> ((s, d) => {
       // benchmark decontamination: flag corpus docs sharing any word n-gram
       // with an eval set. The "benchmark" here is 8-token snippets lifted
@@ -594,6 +604,22 @@ object SparkEntry {
         "FROM h, unnest(generate_series(0, 15)) AS u(i) GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1"),
     "q_lsh_candidates" -> lshCandidatesSql,
+    "q_dedup_clusters" ->
+      (lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM bk a JOIN ok USING (band, key) " +
+        "JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+        "jt AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents), " +
+        "vp AS (SELECT id1, id2 FROM (SELECT c.id1, c.id2, " +
+        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard " +
+        "FROM cand c JOIN jt a ON c.id1 = a.doc_id JOIN jt b ON c.id2 = b.doc_id) " +
+        "WHERE jaccard >= 0.7), " +
+        "sym AS (SELECT id1 AS src, id2 AS dst FROM vp " +
+        "UNION SELECT id2 AS src, id1 AS dst FROM vp), " +
+        "reach AS (SELECT src AS id, src AS r FROM sym " +
+        "UNION SELECT reach.id, s.dst FROM reach JOIN sym s ON s.src = reach.r) " +
+        "SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY 1"),
     "q_decontaminate" ->
       ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
         "bt AS (SELECT array_to_string(toks[1:8], ' ') AS btext FROM tk WHERE doc_id % 50 = 0), " +

@@ -213,6 +213,24 @@ object Dedup {
           s => s.getField("para")), " ").as("kept_text"))
   }
 
+  // ---- transitive dedup clusters -------------------------------------------
+
+  /** The scrub step after pair verification: near-duplication is transitive
+    * in practice (A≈B, B≈C ⇒ the whole chain is one boilerplate family), so
+    * the keep/drop decision runs connected components over the verified
+    * pair graph — the same salted min-propagation CC kernel the KG
+    * canonicalizer uses (Canon.connectedComponents), which is the operator's
+    * 100 TB shape. Input: (id1, id2) pairs; output: (id, keep_id) for every
+    * clustered id, keep = MIN id of the cluster (keepers map to themselves;
+    * callers drop rows with id ≠ keep_id). Ids are zero-padded before the
+    * string CC so lexicographic min = numeric min. */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    graft.stages.Canon.connectedComponents(pairs.select(
+        lpad(col("id1").cast("string"), 20, "0").as("a"),
+        lpad(col("id2").cast("string"), 20, "0").as("b")))
+      .select(col("name").cast("long").as("id"),
+        col("comp").cast("long").as("keep_id"))
+
   // ---- benchmark decontamination ------------------------------------------
 
   /** Training-corpus decontamination against a benchmark/eval set: flag

@@ -131,6 +131,16 @@ class DatapipeSpec extends AnyFunSuite {
     assert(dups.exists(d => d._1 == 100L && d._2 == 101L))
   }
 
+  test("dedup clusters: transitive closure, numeric-min keeper") {
+    // chain 2–5, 5–9 is ONE boilerplate family; 9–10 exercises the
+    // zero-padding (lexicographic "10" < "9" must not pick keeper 10)
+    val pairs = Seq((2L, 5L), (5L, 9L), (9L, 10L), (30L, 40L))
+      .toDF("id1", "id2")
+    val m = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(m === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 10L -> 2L,
+      30L -> 30L, 40L -> 30L))
+  }
+
   test("decontamination flags n-gram overlap with the benchmark, nothing else") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"), // contains bench gram
