@@ -322,6 +322,16 @@ object SparkEntry {
         Dedup.lshBandsMd5(docs, "doc_id", "text", 8, 4, 3), maxBucket = 64)
       Dedup.jaccardVerify(cands, docs, "doc_id", "text", 0.7)
     }),
+    "q_corpus_scrub" -> ((s, d) =>
+      // the composed pre-training filter verdict: per-doc quality + langid
+      // + repetition signals and the keep decision a scrub pass acts on —
+      // one narrow scan, all signals in a single projection
+      t(s, d, "documents").select(col("doc_id"),
+          TextStats.qualityScore(col("text")).as("quality"),
+          TextStats.langId(col("text")).as("lang"),
+          TextStats.dupTokenFraction(col("text")).as("dup_frac"))
+        .withColumn("keep",
+          col("quality") >= 0.5 && col("lang") === "en" && col("dup_frac") <= 0.4)),
     "q_dedup_clusters" -> ((s, d) => {
       // the COMPLETE fuzzy-dedup scrub: LSH blocking → exact Jaccard verify
       // → transitive closure → (doc, keeper) map
@@ -604,6 +614,23 @@ object SparkEntry {
         "FROM h, unnest(generate_series(0, 15)) AS u(i) GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1"),
     "q_lsh_candidates" -> lshCandidatesSql,
+    "q_corpus_scrub" ->
+      ("WITH s AS (SELECT doc_id, text, length(text) AS n, " +
+        "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct, " +
+        "length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "t2 AS (SELECT doc_id, " +
+        "round((CASE WHEN n BETWEEN 50 AND 2000 THEN 1.0 WHEN n BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END) * 0.4 + " +
+        "least(CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) * 4.0, 1.0) * 0.4 + " +
+        "(1.0 - least(CAST(punct AS DOUBLE) / greatest(n, 1) * 10.0, 1.0)) * 0.2, 4) AS quality, " +
+        "CASE WHEN CAST(cjk AS DOUBLE) / greatest(n, 1) > 0.3 THEN 'zh' " +
+        "WHEN CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) > 0.02 THEN 'en' ELSE 'unk' END AS lang, " +
+        "round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS dup_frac " +
+        "FROM s) " +
+        "SELECT doc_id, quality, lang, dup_frac, " +
+        "(quality >= 0.5 AND lang = 'en' AND dup_frac <= 0.4) AS keep FROM t2"),
     "q_dedup_clusters" ->
       (lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
         ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
