@@ -1,20 +1,22 @@
 package graft.plans
 
-import graft.functions.{DecodeMid, EncodeMid}
+import graft.functions.{CosineSim, DecodeMid, EncodeMid, SignBucket}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions installer — registers the engine's native
   * Catalyst expressions in the session FunctionRegistry, so SQL users get
-  * `encode_mid` / `decode_mid` as codegen'd built-ins (not UDFs):
+  * them as codegen'd built-ins (not UDFs):
   *
   *   spark.sql.extensions=graft.plans.GraftExtensions
   *   SELECT encode_mid(mid_decimal) FROM blogs
+  *   SELECT cosine_sim(a.v, b.v), sign_bucket(v, 8) FROM embs ...
   *
   * This is the (c)-level extension seam of SURVEY.md §7.5's preference
   * ladder (builtin > native Expression > UDF); the DataFrame surface
-  * reaches the same expressions through functions/Base62.
+  * reaches the same expressions through functions/Base62, Dedup.cosine
+  * and Similarity.signBucket.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -28,5 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("decode_mid"),
       info("decode_mid", "decode_mid(coded_mid) - weibo base62 mid codec (MicroBlog.kt:51-56)"),
       (args: Seq[Expression]) => DecodeMid(args.head)))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double>, one fused primitive loop"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("sign_bucket"),
+      info("sign_bucket", "sign_bucket(v, planes) - deterministic random-hyperplane LSH bucket of array<double>; planes must be a literal int"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(p: Int, _) => SignBucket(args(0), p)
+        case other => throw new IllegalArgumentException(
+          s"sign_bucket: planes must be an integer literal, got $other")
+      }))
   }
 }

@@ -33,6 +33,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getString(0).length === 9) // 1 + 4 + 4 coded segments
       val plan = row.queryExecution.executedPlan.toString
       assert(!plan.contains("ScalaUDF"), s"codec fell back to a UDF:\n$plan")
+
+      // the ANN natives resolve from SQL too, same values as the column API
+      val ann = spark.sql(
+        "SELECT round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 1.0d)), 6) AS c, " +
+          "sign_bucket(array(1.0d, 0.5d, -2.0d), 8) AS b").collect()(0)
+      assert(math.abs(ann.getDouble(0) - 0.707107) < 1e-6)
+      import org.apache.spark.sql.functions._
+      val viaCol = spark.range(1)
+        .select(graft.datapipe.Similarity.signBucket(
+          array(lit(1.0), lit(0.5), lit(-2.0)), 8).as("b"))
+        .collect()(0).getLong(0)
+      assert(ann.getLong(1) === viaCol)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
