@@ -301,12 +301,16 @@ object SparkEntry {
         .groupBy(TextStats.langId(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n"))),
     "q_minhash" -> ((s, d) => {
-      // explode + two-phase min-agg, not a per-row HOF (see Dedup.minhashSigs)
-      val toks = split(col("text"), " ")
-      val nSh = greatest(size(toks) - 2, lit(1))
-      val sh = transform(sequence(lit(1), nSh),
-        i => concat_ws(" ", slice(toks, i, lit(3))))
-      t(s, d, "documents").select(col("doc_id"), explode(sh).as("s3"))
+      // exploded-INDEX shape: only the cheap index sequence explodes; each
+      // shingle string is built by codegen'd slice+concat_ws after the
+      // explode (the transform-HOF form is interpreted and allocates the
+      // whole shingle array per row — see Dedup.shingleRows)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      docs.select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), greatest(size(col("toks")) - 2, lit(1)))).as("i"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("toks"), col("i"), lit(3))).as("s3"))
         .groupBy("doc_id")
         .agg(min(md5(concat(lit("0"), col("s3")))).as("mh0"),
           min(md5(concat(lit("1"), col("s3")))).as("mh1"))
@@ -817,7 +821,9 @@ object SparkEntry {
       "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 " +
       "THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) " +
       "ELSE [array_to_string(toks, ' ')] END AS shingles FROM t), " +
-      "sg AS (SELECT doc_id, h.i AS hi, min(md5(CAST(h.i AS VARCHAR) || '|' || u.s)) AS mh " +
+      // 8 hash fns = 8-hex windows of 2 md5 digests (mirrors minhashSigsMd5)
+      "sg AS (SELECT doc_id, h.i AS hi, " +
+      "min(substr(md5(CAST(h.i // 4 AS VARCHAR) || '|' || u.s), (h.i % 4) * 8 + 1, 8)) AS mh " +
       "FROM sh CROSS JOIN unnest(shingles) AS u(s) " +
       "CROSS JOIN unnest(generate_series(0, 7)) AS h(i) GROUP BY 1, 2), " +
       "bk AS (SELECT doc_id, CAST(hi // 2 AS INT) AS band, " +

@@ -31,6 +31,26 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** (id, sh) — one row per w-shingle, equivalent to
+    * `explode(shingles(...))` but CODEGEN-SHAPED: the `transform` HOF is
+    * interpreted and allocates the whole shingle-string array per row
+    * before exploding; here only the (cheap) index sequence explodes and
+    * each shingle string is built by codegen'd slice+concat_ws in the
+    * post-explode projection — the dominant cost of every minhash/LSH and
+    * decontamination pass. */
+  private[datapipe] def shingleRows(docs: DataFrame, idCol: String,
+                                    textCol: String, w: Int): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    docs.select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - (w - 1), lit(1)))).as("i"))
+      .select(col("id"),
+        when(size(col("toks")) >= w,
+          concat_ws(" ", slice(col("toks"), col("i"), lit(w))))
+          .otherwise(concat_ws(" ", col("toks"))).as("sh"))
+  }
+
   /** MinHash signatures, (id, sig array<long>), xxhash64 family.
     *
     * SHAPE MATTERS: higher-order functions (transform/aggregate) are
@@ -43,20 +63,27 @@ object Dedup {
     * row per doc. */
   def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
                   numHashes: Int, w: Int = 3): DataFrame =
-    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
+    shingleRows(docs, idCol, textCol, w)
       .groupBy("id")
       .agg(array((0 until numHashes).map(i =>
         min(xxhash64(lit(i), col("sh")))): _*).as("sig"))
 
   /** md5-family signatures, (id, sig array<string>) — every hash is
     * reproducible by an external engine (the DuckDB oracle recomputes the
-    * chain verbatim). */
+    * chain verbatim).
+    *
+    * Hash family: the i-th function is an 8-hex-char (32-bit) WINDOW of
+    * md5((i/4) + "|" + shingle) — ceil(numHashes/4) md5 evaluations per
+    * shingle instead of numHashes (md5 dominates this pass; windows of a
+    * cryptographic digest are independent, and 32 bits is ample for
+    * per-document shingle-set minima). */
   def minhashSigsMd5(docs: DataFrame, idCol: String, textCol: String,
                      numHashes: Int, w: Int = 3): DataFrame =
-    docs.select(col(idCol).as("id"), explode(shingles(col(textCol), w)).as("sh"))
+    shingleRows(docs, idCol, textCol, w)
       .groupBy("id")
       .agg(array((0 until numHashes).map(i =>
-        min(md5(concat(lit(i.toString), lit("|"), col("sh"))))): _*).as("sig"))
+        min(substring(md5(concat(lit((i / 4).toString), lit("|"), col("sh"))),
+          (i % 4) * 8 + 1, 8))): _*).as("sig"))
 
   /** LSH banding: split the signature into `bands` keys; docs sharing any
     * band key are near-dup candidates. Returns (id, band, key). */
@@ -249,12 +276,11 @@ object Dedup {
     * no corpus shuffle except the final per-doc count aggregate. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 13): DataFrame = {
-    def grams(df: DataFrame, id: Column) = df
-      .select(id.as("id"), explode(shingles(col(textCol), n)).as("g"))
-      .select(col("id"), col("g"), md5(col("g")).as("gh"))
+    def grams(df: DataFrame) = shingleRows(df, idCol, textCol, n)
+      .select(col("id"), col("sh").as("g"), md5(col("sh")).as("gh"))
     val bench = broadcast(
-      grams(benchmark, col(idCol)).select("gh").distinct())
-    grams(docs, col(idCol))
+      grams(benchmark).select("gh").distinct())
+    grams(docs)
       .join(bench, Seq("gh"), "left_semi")
       .groupBy("id")
       .agg(count_distinct(col("gh")).as("n_hits"), min(col("g")).as("first_gram"))
