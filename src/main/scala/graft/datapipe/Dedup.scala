@@ -45,10 +45,10 @@ object Dedup {
       .select(col("id"), col("toks"),
         explode(sequence(lit(1),
           greatest(size(col("toks")) - (w - 1), lit(1)))).as("i"))
+      // slice clamps at the array end and the short-doc branch always has
+      // i = 1, so one spelling covers both cases (no conditional needed)
       .select(col("id"),
-        when(size(col("toks")) >= w,
-          concat_ws(" ", slice(col("toks"), col("i"), lit(w))))
-          .otherwise(concat_ws(" ", col("toks"))).as("sh"))
+        concat_ws(" ", slice(col("toks"), col("i"), lit(w))).as("sh"))
   }
 
   /** MinHash signatures, (id, sig array<long>), xxhash64 family.
@@ -249,14 +249,21 @@ object Dedup {
     * canonicalizer uses (Canon.connectedComponents), which is the operator's
     * 100 TB shape. Input: (id1, id2) pairs; output: (id, keep_id) for every
     * clustered id, keep = MIN id of the cluster (keepers map to themselves;
-    * callers drop rows with id ≠ keep_id). Ids are zero-padded before the
-    * string CC so lexicographic min = numeric min. */
-  def dedupClusters(pairs: DataFrame): DataFrame =
+    * callers drop rows with id ≠ keep_id). Ids pass through a monotone
+    * fixed-width string encoding (offset by 2^63, zero-padded) before the
+    * string CC, so lexicographic min = numeric min over the FULL long
+    * range, negatives included. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    // monotone Long → 20-char string: (id + 2^63) ∈ [0, 2^64) as decimal
+    val off = lit(new java.math.BigDecimal("9223372036854775808"))
+    def enc(c: Column) =
+      lpad((c.cast("decimal(20,0)") + off).cast("decimal(20,0)").cast("string"),
+        20, "0")
+    def dec(c: Column) = (c.cast("decimal(20,0)") - off).cast("long")
     graft.stages.Canon.connectedComponents(pairs.select(
-        lpad(col("id1").cast("string"), 20, "0").as("a"),
-        lpad(col("id2").cast("string"), 20, "0").as("b")))
-      .select(col("name").cast("long").as("id"),
-        col("comp").cast("long").as("keep_id"))
+        enc(col("id1")).as("a"), enc(col("id2")).as("b")))
+      .select(dec(col("name")).as("id"), dec(col("comp")).as("keep_id"))
+  }
 
   // ---- benchmark decontamination ------------------------------------------
 

@@ -47,7 +47,10 @@ object TextStats {
     * an English stopword-density check. */
   def langId(text: Column): Column = {
     val n = greatest(length(text), lit(1))
-    val cjk = n - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
+    // cjk count from the RAW length — the clamped n would credit an empty
+    // document with one phantom CJK char and classify "" as 'zh' (review
+    // finding; the DuckDB oracles compute it from the raw length)
+    val cjk = length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
     val stopRatio = stopwordCount(text).cast("double") /
       greatest(tokenCount(text), lit(1)).cast("double")
     when(cjk.cast("double") / n.cast("double") > 0.3, "zh")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DoubleArrayInputs}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Native random-hyperplane sign bucket over an array<double> column.
@@ -23,10 +23,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * md5("p_d"), read base-16, are even — i.e. the low bit of the md5
   * digest's third byte is 0. Dot accumulation is left-to-right, matching
   * the HOF fold (parity-tested in DatapipeSpec). */
-case class SignBucket(child: Expression, planes: Int) extends UnaryExpression {
+case class SignBucket(child: Expression, planes: Int)
+    extends UnaryExpression with DoubleArrayInputs {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sign_bucket"
+  // float/decimal arrays cast at analysis time, not a runtime CCE
+  override protected def nVectorArgs: Int = 1
 
   // (dims, flattened signs[p * dims + d]) — built on first eval, when the
   // vector width is observed; volatile publish so concurrent tasks sharing

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DoubleArrayInputs}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Native cosine similarity over two array<double> columns.
@@ -36,10 +36,14 @@ object VectorOps {
   }
 }
 
-case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with DoubleArrayInputs {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
+  // SQL callers write array(1.0, …) (decimal literals) or hold float
+  // arrays — the analyzer inserts the cast instead of a runtime CCE
+  override protected def nVectorArgs: Int = 2
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -20,25 +20,32 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[EncodeMid].getName, null, name, usage, "")
+  private def info(cls: Class[_], name: String, usage: String) =
+    new ExpressionInfo(cls.getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("encode_mid"),
-      info("encode_mid", "encode_mid(decimal_mid) - weibo base62 mid codec (MicroBlog.kt:67-71)"),
-      (args: Seq[Expression]) => EncodeMid(args.head)))
+      info(classOf[EncodeMid], "encode_mid", "encode_mid(decimal_mid) - weibo base62 mid codec (MicroBlog.kt:67-71)"),
+      (args: Seq[Expression]) => { arity("encode_mid", 1, args); EncodeMid(args.head) }))
     ext.injectFunction((FunctionIdentifier("decode_mid"),
-      info("decode_mid", "decode_mid(coded_mid) - weibo base62 mid codec (MicroBlog.kt:51-56)"),
-      (args: Seq[Expression]) => DecodeMid(args.head)))
+      info(classOf[DecodeMid], "decode_mid", "decode_mid(coded_mid) - weibo base62 mid codec (MicroBlog.kt:51-56)"),
+      (args: Seq[Expression]) => { arity("decode_mid", 1, args); DecodeMid(args.head) }))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
-      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double>, one fused primitive loop"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+      info(classOf[CosineSim], "cosine_sim", "cosine_sim(a, b) - cosine similarity of two array<double>, one fused primitive loop"),
+      (args: Seq[Expression]) => { arity("cosine_sim", 2, args); CosineSim(args(0), args(1)) }))
     ext.injectFunction((FunctionIdentifier("sign_bucket"),
-      info("sign_bucket", "sign_bucket(v, planes) - deterministic random-hyperplane LSH bucket of array<double>; planes must be a literal int"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(p: Int, _) => SignBucket(args(0), p)
-        case other => throw new IllegalArgumentException(
-          s"sign_bucket: planes must be an integer literal, got $other")
+      info(classOf[SignBucket], "sign_bucket", "sign_bucket(v, planes) - deterministic random-hyperplane LSH bucket of array<double>; planes must be a literal int"),
+      (args: Seq[Expression]) => {
+        arity("sign_bucket", 2, args)
+        args(1) match {
+          case Literal(p: Int, _) => SignBucket(args(0), p)
+          case other => throw new IllegalArgumentException(
+            s"sign_bucket: planes must be an integer literal, got $other")
+        }
       }))
   }
 }

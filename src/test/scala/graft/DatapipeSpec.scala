@@ -139,6 +139,11 @@ class DatapipeSpec extends AnyFunSuite {
     val m = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
     assert(m === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 10L -> 2L,
       30L -> 30L, 40L -> 30L))
+    // negative ids: the offset encoding keeps numeric order (plain
+    // zero-padding would map them to null / pick the wrong keeper)
+    val neg = Dedup.dedupClusters(Seq((-9L, -5L), (-5L, 3L)).toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(neg === Map(-9L -> -9L, -5L -> -9L, 3L -> -9L))
   }
 
   test("decontamination flags n-gram overlap with the benchmark, nothing else") {

@@ -35,9 +35,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(!plan.contains("ScalaUDF"), s"codec fell back to a UDF:\n$plan")
 
       // the ANN natives resolve from SQL too, same values as the column API
+      // — written with DECIMAL literals (the natural SQL spelling): the
+      // implicit-cast input types must coerce them, not crash at runtime
       val ann = spark.sql(
-        "SELECT round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 1.0d)), 6) AS c, " +
-          "sign_bucket(array(1.0d, 0.5d, -2.0d), 8) AS b").collect()(0)
+        "SELECT round(cosine_sim(array(1.0, 0.0), array(1.0, 1.0)), 6) AS c, " +
+          "sign_bucket(array(1.0, 0.5, -2.0), 8) AS b").collect()(0)
       assert(math.abs(ann.getDouble(0) - 0.707107) < 1e-6)
       import org.apache.spark.sql.functions._
       val viaCol = spark.range(1)
