@@ -1,0 +1,56 @@
+package graft
+
+import graft.sources.Jdbc
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.DriverManager
+
+/** S1 live JDBC source against embedded Derby (shipped in Spark's own
+  * jars): partitioned parallel scan, completeness, and the high-water-mark
+  * incremental read pushed into the database query. */
+class JdbcSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val url: String = {
+    val dir = Files.createTempDirectory("graft-derby").toString
+    val u = s"jdbc:derby:$dir/db;create=true"
+    Class.forName(Jdbc.derbyDriver)
+    val c = DriverManager.getConnection(u)
+    val st = c.createStatement()
+    st.execute("CREATE TABLE blogs (id BIGINT NOT NULL, content VARCHAR(64))")
+    val ps = c.prepareStatement("INSERT INTO blogs VALUES (?, ?)")
+    (1 to 500).foreach { i =>
+      ps.setLong(1, i.toLong); ps.setString(2, s"row $i"); ps.addBatch()
+    }
+    ps.executeBatch()
+    c.close()
+    u
+  }
+
+  test("partitioned JDBC scan: parallel range queries, complete result") {
+    val df = Jdbc.read(spark, url, "blogs", "id",
+      lowerBound = 1, upperBound = 500, numPartitions = 4)
+    assert(df.rdd.getNumPartitions === 4, "scan did not partition")
+    val rows = df.select("ID").as[Long].collect().sorted
+    assert(rows.length === 500 && rows.head === 1L && rows.last === 500L)
+  }
+
+  test("high-water-mark incremental read pushes the predicate into the DB") {
+    val df = Jdbc.readIncremental(spark, url, "blogs", "id", highWaterMark = 480)
+    val rows = df.select("ID").as[Long].collect().sorted
+    assert(rows.toSeq === (481L to 500L))
+    // the filter lives in the generated database query, not a Spark Filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("), s"HWM filtered client-side:\n$plan")
+  }
+
+  test("engine filters push down to the JDBC scan") {
+    val df = Jdbc.read(spark, url, "blogs", "id", 1, 500, 2)
+      .filter($"ID" > 490)
+    assert(df.count() === 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"predicate not pushed to the JDBC source:\n$plan")
+  }
+}
