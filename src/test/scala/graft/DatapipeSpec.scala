@@ -146,6 +146,57 @@ class DatapipeSpec extends AnyFunSuite {
     assert(neg === Map(-9L -> -9L, -5L -> -9L, 3L -> -9L))
   }
 
+  test("dedup clusters ≡ brute-force union-find on randomized pair graphs") {
+    val rnd = new scala.util.Random(23)
+    (0 until 3).foreach { trial =>
+      val n = 60
+      val pairs = (0 until 80).map { _ =>
+        val a = rnd.nextInt(n).toLong - 10 // includes negatives
+        val b = rnd.nextInt(n).toLong - 10
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val got = Dedup.dedupClusters(pairs.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      // oracle: plain union-find over the same pairs
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val want = nodes.map(x => x -> find(x)).toMap
+      assert(got === want, s"trial $trial diverged from union-find")
+    }
+  }
+
+  test("decontamination ≡ brute-force n-gram intersection on random docs") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def randText() =
+      Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val corpusRows = (0L until 40L).map(i => (i, randText()))
+    val benchRows = (100L until 104L).map(i => (i, randText()))
+    val w = 3
+    def gramsOf(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.size >= w) toks.sliding(w).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val benchGrams = benchRows.flatMap(r => gramsOf(r._2)).toSet
+    val want = corpusRows.flatMap { case (id, t) =>
+      val hits = gramsOf(t).intersect(benchGrams)
+      if (hits.isEmpty) None else Some(id -> (hits.size.toLong, hits.min))
+    }.toMap
+    val got = Dedup.decontaminate(corpusRows.toDF("doc_id", "text"),
+        benchRows.toDF("doc_id", "text"), "doc_id", "text", n = w)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === want)
+  }
+
   test("decontamination flags n-gram overlap with the benchmark, nothing else") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"), // contains bench gram
