@@ -326,6 +326,12 @@ object SparkEntry {
         Dedup.lshBandsMd5(docs, "doc_id", "text", 8, 4, 3), maxBucket = 64)
       Dedup.jaccardVerify(cands, docs, "doc_id", "text", 0.7)
     }),
+    "q_stratified_sample" -> ((s, d) =>
+      // deterministic hash-mod training-mix sampling: keep all English,
+      // downsample the rest — reproducible across runs/partitionings/engines
+      graft.datapipe.Sampling.stratified(t(s, d, "documents"),
+          "doc_id", "lang", Map("en" -> 1.0, "zh" -> 0.5), default = 0.25)
+        .select("doc_id", "lang", "source")),
     "q_corpus_scrub" -> ((s, d) =>
       // the composed pre-training filter verdict: per-doc quality + langid
       // + repetition signals and the keep decision a scrub pass acts on —
@@ -618,6 +624,10 @@ object SparkEntry {
         "FROM h, unnest(generate_series(0, 15)) AS u(i) GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1"),
     "q_lsh_candidates" -> lshCandidatesSql,
+    "q_stratified_sample" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < " +
+        "(CASE WHEN lang = 'en' THEN 1.0 WHEN lang = 'zh' THEN 0.5 ELSE 0.25 END)"),
     "q_corpus_scrub" ->
       ("WITH s AS (SELECT doc_id, text, length(text) AS n, " +
         "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct, " +

@@ -146,6 +146,30 @@ class DatapipeSpec extends AnyFunSuite {
     assert(neg === Map(-9L -> -9L, -5L -> -9L, 3L -> -9L))
   }
 
+  test("hash-mod sampling: deterministic, repartition-invariant, rate-accurate") {
+    import graft.datapipe.Sampling
+    val docs = (0L until 4000L).map(i =>
+      (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "zh" else "de"))
+      .toDF("doc_id", "lang")
+    val fr = Map("en" -> 1.0, "zh" -> 0.5)
+    val a = Sampling.stratified(docs, "doc_id", "lang", fr, default = 0.25)
+      .as[(Long, String)].collect().toSet
+    // invariant under physical layout — rand(seed) sampling is NOT
+    val b = Sampling.stratified(docs.repartition(13), "doc_id", "lang", fr,
+      default = 0.25).as[(Long, String)].collect().toSet
+    assert(a === b)
+    val byLang = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLang("en") === 1000) // fraction 1.0 keeps every row
+    assert(math.abs(byLang("zh") - 500) < 100)
+    assert(math.abs(byLang("de") - 500) < 100) // 2000 rows × 0.25
+    // subset property: raising a fraction only ADDS rows (hash threshold)
+    val smaller = Sampling.sampleFraction(docs, "doc_id", 0.2)
+      .as[(Long, String)].collect().map(_._1).toSet
+    val larger = Sampling.sampleFraction(docs, "doc_id", 0.4)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(smaller.subsetOf(larger))
+  }
+
   test("dedup clusters ≡ brute-force union-find on randomized pair graphs") {
     val rnd = new scala.util.Random(23)
     (0 until 3).foreach { trial =>
