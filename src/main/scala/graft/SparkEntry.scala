@@ -326,6 +326,10 @@ object SparkEntry {
         Dedup.lshBandsMd5(docs, "doc_id", "text", 8, 4, 3), maxBucket = 64)
       Dedup.jaccardVerify(cands, docs, "doc_id", "text", 0.7)
     }),
+    "q_tfidf_keywords" -> ((s, d) =>
+      // corpus keyword extraction: top-3 TF-IDF terms per document
+      TextStats.tfIdfTopK(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("score"), col("rank"))),
     "q_stratified_sample" -> ((s, d) =>
       // deterministic hash-mod training-mix sampling: keep all English,
       // downsample the rest — reproducible across runs/partitionings/engines
@@ -624,6 +628,18 @@ object SparkEntry {
         "FROM h, unnest(generate_series(0, 15)) AS u(i) GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1"),
     "q_lsh_candidates" -> lshCandidatesSql,
+    "q_tfidf_keywords" ->
+      ("WITH tf AS (SELECT doc_id, u.term, count(*) AS tf FROM (" +
+        "SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
+        "CROSS JOIN unnest(toks) AS u(term) GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.term, " +
+        "round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n), " +
+        "r AS (SELECT doc_id, term, score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc) " +
+        "SELECT doc_id, term, score, rank FROM r WHERE rank <= 3"),
     "q_stratified_sample" ->
       ("SELECT doc_id, lang, source FROM documents " +
         "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < " +

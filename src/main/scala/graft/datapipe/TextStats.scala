@@ -110,6 +110,34 @@ object TextStats {
         .as("top_bigram_frac"))
   }
 
+  /** TF-IDF top-k keywords per document: tf = in-doc term count, idf =
+    * ln(N / df) with df = documents containing the term; score rounded to
+    * 6 so the ranking is engine-portable; ties broken by term.
+    *
+    * Scale shape: one explode pass feeds BOTH aggregates — tf is a
+    * two-phase (doc, term) count; df reuses tf's output (one row per
+    * (doc, term) already = distinct containment) with a second narrow
+    * count keyed by term. The df table is vocabulary-sized; the join back
+    * is an equi-join on term that AQE broadcasts while the vocabulary fits
+    * and shuffle-hash-joins beyond. The final per-doc top-k window
+    * partitions by doc id — naturally balanced. */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .select(col("id"), col("term"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ---- PII redaction -------------------------------------------------------
   // Training-data scrubbing pass: emails, phone-shaped numbers, IPv4.
   // Patterns are deliberately RE2-compatible (no backrefs/lookaround) so an

@@ -146,6 +146,21 @@ class DatapipeSpec extends AnyFunSuite {
     assert(neg === Map(-9L -> -9L, -5L -> -9L, 3L -> -9L))
   }
 
+  test("tf-idf keywords: idf zeroes ubiquitous terms, tf boosts repeats") {
+    val d = Seq(
+      (0L, "apple apple banana common"),
+      (1L, "banana cherry common"),
+      (2L, "cherry cherry common common")).toDF("doc_id", "text")
+    val top = TextStats.tfIdfTopK(d, "doc_id", "text", k = 1)
+      .as[(Long, String, Double, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(top === Map(0L -> "apple", 1L -> "banana", 2L -> "cherry"))
+    // 'common' appears in every doc → idf ln(1) = 0 everywhere
+    val all = TextStats.tfIdfTopK(d, "doc_id", "text", k = 10)
+      .as[(Long, String, Double, Int)].collect()
+    assert(all.filter(_._2 == "common").forall(_._3 === 0.0))
+  }
+
   test("hash-mod sampling: deterministic, repartition-invariant, rate-accurate") {
     import graft.datapipe.Sampling
     val docs = (0L until 4000L).map(i =>
