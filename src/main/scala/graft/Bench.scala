@@ -30,7 +30,10 @@ object Bench {
     "q_explode_tokens", "q_time_buckets", "q_dedup_exact", "q_minhash",
     "q_simhash", "q_quality_score", "q_jaccard_pairs", "q_embed_topk",
     "q_lsh_candidates", "q_embed_multiprobe", "q_sessionize",
-    "q_event_windows", "q_repetition", "q_chunk_dedup", "q_ann_recall")
+    "q_event_windows", "q_repetition", "q_chunk_dedup", "q_ann_recall",
+    // round-3 operators
+    "q_dedup_clusters", "q_decontaminate", "q_corpus_scrub",
+    "q_stratified_sample", "q_tfidf_keywords", "q_embed_ivf")
 
   private def session(master: String, parts: Int): SparkSession = {
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
