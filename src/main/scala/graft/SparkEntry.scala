@@ -245,17 +245,23 @@ object SparkEntry {
       // location is a fresh per-run temp dir — a fixed /tmp path cost this
       // query its round-2 correctness row (LOCATION_ALREADY_EXISTS on rerun)
       s.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
-      // fixed parent, wiped each invocation (covers leftovers from OTHER
-      // processes too — a fresh temp dir per run would accumulate bucketed
-      // table copies in /tmp), then a unique per-run subdir under it
+      // fixed parent so stale run dirs don't accumulate in /tmp, but ONLY
+      // subdirs older than this JVM are reaped — a concurrent process (Verify
+      // vs a test JVM, two bench runs) keeps its live warehouse; wiping the
+      // whole parent raced and produced spurious table-missing failures
       val parent = java.nio.file.Paths.get("/tmp/graft-bkt-wh-runs")
-      if (java.nio.file.Files.exists(parent)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(parent).sorted(
-          java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      }
       java.nio.file.Files.createDirectories(parent)
+      val jvmStart = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getStartTime
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(parent).iterator().asScala
+        .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < jvmStart)
+        .foreach { stale =>
+          try java.nio.file.Files.walk(stale).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          catch { case _: java.io.IOException => () } // lost a reap race: fine
+        }
       val wh = java.nio.file.Files.createTempDirectory(parent, "run")
       java.nio.file.Files.delete(wh) // CREATE DATABASE owns (and creates) it
       s.sql(s"CREATE DATABASE graft_bkt LOCATION '${wh.toString}'")

@@ -68,9 +68,12 @@ case class SignBucket(child: Expression, planes: Int)
   /** One row: planes dot products over the precomputed sign table. */
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
-    // HOF parity: a null ELEMENT null-propagates through zip_with/aggregate,
-    // so every plane's dot is null and when(dot >= 0).otherwise(0) yields
-    // bucket 0 — mirror that instead of silently reading the slot as 0.0
+    // HOF parity: an EMPTY vector zip_withs against sequence(0, -1) = [0,-1],
+    // padding with null elements — the dot null-propagates and
+    // when(dot >= 0).otherwise(0) yields bucket 0, NOT the all-ones bucket a
+    // skipped dims loop (dot = 0.0 >= 0 per plane) would produce
+    if (n == 0) return 0L
+    // same propagation for a null ELEMENT inside a non-empty vector
     var c = 0
     while (c < n) {
       if (arr.isNullAt(c)) return 0L

@@ -35,15 +35,24 @@ object Jdbc {
   /** Incremental scan from a high-water mark — the reference's
     * `where id > $earliestId` pattern (FromScrappyDump.kt:352–357): only
     * rows past the last committed id are fetched, pushed down INTO the
-    * database query (not filtered client-side). */
+    * database query (not filtered client-side). The predicate goes through
+    * Spark's JDBC filter pushdown over a plain `dbtable` read — no raw SQL
+    * interpolation of caller-supplied identifiers (a table/column name with
+    * SQL metacharacters must fail validation, not splice into the query). */
   def readIncremental(spark: SparkSession, url: String, table: String,
                       idCol: String, highWaterMark: Long,
-                      driver: String = derbyDriver): DataFrame =
+                      driver: String = derbyDriver): DataFrame = {
+    val ident = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?".r
+    require(ident.matches(table), s"invalid table identifier: $table")
+    require(ident.matches(idCol) && !idCol.contains("."),
+      s"invalid column identifier: $idCol")
     spark.read.format("jdbc")
       .option("url", url)
-      .option("query", s"SELECT * FROM $table WHERE $idCol > $highWaterMark")
+      .option("dbtable", table)
       .option("driver", driver)
       .load()
+      .filter(org.apache.spark.sql.functions.col(idCol) > highWaterMark)
+  }
 
   /** Embedded Derby — the JDBC engine shipped with Spark's own jars, used
     * by JdbcSourceSpec so the path is exercised without network egress. */

@@ -187,7 +187,11 @@ object Canon {
     // are dictionary-bounded — when they fit the driver, one collect
     // replaces the label/blocking/CC dataflow (which remains the unbounded
     // path and is parity-tested against this one in KgParitySpec)
+    // the fast path recomputes labels from kbTriples, so it must also be
+    // OFF when the caller supplies its own label frame — not just when the
+    // rule differs (a supplied frame can diverge from the recomputation)
     if (ccDriverThreshold > 0 && (labelRule eq unionLabelRule) &&
+        precomputedLabels.isEmpty &&
         kbTriples.count() <= ccDriverThreshold) {
       val spark = kbTriples.sparkSession
       import spark.implicits._

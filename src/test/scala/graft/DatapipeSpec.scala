@@ -254,9 +254,11 @@ class DatapipeSpec extends AnyFunSuite {
 
   test("native sign bucket ≡ the HOF formulation, bit for bit") {
     val r = new java.util.Random(11)
-    val embs = (0L until 300L).map { i =>
+    // row 300 is the EMPTY vector: the HOF null-propagates it to bucket 0
+    // and the native loop must mirror that, not emit the all-ones bucket
+    val embs = ((0L until 300L).map { i =>
       (i, Seq.fill(24)(r.nextGaussian()))
-    }.toDF("vec_id", "v")
+    } :+ (300L, Seq.empty[Double])).toDF("vec_id", "v")
     Seq(1, 4, 8, 16).foreach { planes =>
       val both = embs.select(col("vec_id"),
         Similarity.signBucket(col("v"), planes).as("native"),

@@ -40,9 +40,18 @@ class JdbcSourceSpec extends AnyFunSuite {
     val df = Jdbc.readIncremental(spark, url, "blogs", "id", highWaterMark = 480)
     val rows = df.select("ID").as[Long].collect().sorted
     assert(rows.toSeq === (481L to 500L))
-    // the filter lives in the generated database query, not a Spark Filter
+    // the HWM predicate is pushed into the database scan (quoted-identifier
+    // dbtable read + Spark JDBC pushdown — no raw SQL interpolation)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Filter ("), s"HWM filtered client-side:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"HWM predicate not pushed to the JDBC source:\n$plan")
+    // and identifiers with SQL metacharacters are rejected, not spliced
+    intercept[IllegalArgumentException] {
+      Jdbc.readIncremental(spark, url, "blogs; DROP TABLE blogs", "id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.readIncremental(spark, url, "blogs", "id > 0 OR 1=1 --", 0)
+    }
   }
 
   test("engine filters push down to the JDBC scan") {
