@@ -161,18 +161,6 @@ object Bench {
     // the driver never sets it, so driver runs measure everything)
     val withHeadline = sys.env.getOrElse("SPARK_GRAFT_HEADLINE", "1") != "0"
 
-    val s1 = session(s"local[$cpus]", cpus)
-    val results = (if (withHeadline) headline else Seq.empty).map { name =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst PRUNE every projected
-      // column, so a projection-heavy query would time an empty scan
-      try { SparkEntry.queries(name)(s1, sfDir)
-        .write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    s1.stop()
-
     // prewarm the OS page cache for the measured corpus — the first
     // cluster-size sample otherwise reads the parquet cold from disk and
     // lands as a one-sided outlier
@@ -185,16 +173,36 @@ object Bench {
       } finally warm.stop()
     }
 
-    // identical job + input at two cluster sizes (1 vs 4 executor JVMs),
-    // alternating sides so slow VM phases hit both sides alike
-    val samples = (1 to pairs).map { _ =>
-      val (sec4, n4) = timeKg(4, kgDocs, measuredRuns = runsPerSide)
-      val (sec1, n1) = timeKg(1, kgDocs, measuredRuns = runsPerSide)
+    // SCALING FIRST, headline after: the scaling pair is the sensitive
+    // measurement, and running it straight after ~6 minutes of 32-core
+    // headline churn exposes it to whatever host contention that churn
+    // provoked (round 3's driver probe measured every 4-exec wall above the
+    // builder's entire quiet-machine range). Identical job + input at two
+    // cluster sizes (1 vs 4 executor JVMs); the order of sides is MIRRORED
+    // between consecutive pairs (4,1 then 1,4) so a drifting slow phase of
+    // the VM lands on both sides alike rather than always on the same one.
+    val samples = (1 to pairs).map { p =>
+      val (a, b) = if (p % 2 == 1) (4, 1) else (1, 4)
+      val (secA, nA) = timeKg(a, kgDocs, measuredRuns = runsPerSide)
+      val (secB, nB) = timeKg(b, kgDocs, measuredRuns = runsPerSide)
       // identical job + input ⇒ identical output; a mismatch is a
       // correctness red flag the bench must not mask
-      require(n1 == n4, s"triple count diverged across cluster sizes: $n1 vs $n4")
-      (sec1, sec4, n1)
+      require(nA == nB, s"triple count diverged across cluster sizes: $nA vs $nB")
+      val (sec1, sec4) = if (a == 4) (secB, secA) else (secA, secB)
+      (sec1, sec4, nA)
     }
+
+    val s1 = session(s"local[$cpus]", cpus)
+    val results = (if (withHeadline) headline else Seq.empty).map { name =>
+      val t0 = System.nanoTime()
+      // noop sink, not count(): count() lets Catalyst PRUNE every projected
+      // column, so a projection-heavy query would time an empty scan
+      try { SparkEntry.queries(name)(s1, sfDir)
+        .write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    s1.stop()
     val nT = samples.head._3
     val sec1 = median(samples.map(_._1))
     val sec4 = median(samples.map(_._2))

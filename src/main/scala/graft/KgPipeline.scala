@@ -75,7 +75,58 @@ object KgPipeline {
       WeiboTriples.emit(Normalize.blogs(docs), Normalize.comments(docs))
     }
 
-    val kb = small(stage("kb_triples", Seq.empty) {
+    // FUSED dim phase (no checkpointing io, dims driver-bounded): the KB
+    // closure and the canonical map both derive from dimension-bounded data
+    // the fast paths collect anyway, so compute BOTH fully driver-side and
+    // hand the big job two LocalRelations. vs the staged path this spares
+    // the kb checkpoint, canon count/collect/checkpoint and the kb-join
+    // jobs — measured ~10 small jobs + planning gaps of pure serial driver
+    // latency that lands 1:1 on the small-cluster pipeline wall — and
+    // overlaps the avpair collect with the corpus-wide mention scan.
+    // Falls back to the staged dataflow when a dim exceeds its bound;
+    // KgParitySpec pins fused ≡ dataflow on the triple set.
+    val fusedDims: Option[(DataFrame, DataFrame)] =
+      if (dimThreshold > 0 && io.isEmpty) {
+        import spark.implicits._
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        // size guard folded into the collect (limit N+1): one job, and it
+        // runs CONCURRENTLY with the m2e collect + mention scan below
+        val avF = Future {
+          avpair.select(col("entity"), col("pred"), col("obj"))
+            .limit(math.min(dimThreshold, Int.MaxValue - 2L).toInt + 1)
+            .as[(String, String, String)].collect()
+        }
+        val m2eRows = ment2ent.select(col("mention"), col("entities"))
+          .as[(String, Seq[String])].collect()
+        val dict = m2eRows.iterator.map(_._1).toSeq.distinct
+        val seeds = Mentions.detect(spark, textSpans(docs), dict)
+          .select(col("mention")).distinct().as[String].collect()
+        val avRows = Await.result(avF, Duration.Inf)
+        if (avRows.length > dimThreshold) None
+        else {
+          val trace = sys.env.contains("SPARK_GRAFT_DIM_TRACE")
+          def tr(tag: String, t0: Long): Long = {
+            val t = System.nanoTime()
+            if (trace) println(f"[dim] $tag ${(t - t0) / 1e6}%.0fms")
+            t
+          }
+          var t0 = System.nanoTime()
+          val av = avRows.groupBy(_._1)
+          val visited = KbExpand.expandLocal(seeds, m2eRows.toMap, av, Rules.recursivePreds)
+          val kbLocal = KbExpand.triplesLocal(visited, av)
+          t0 = tr("bfs+triples", t0)
+          val cm = Canon.canonicalMapLocal(kbLocal, Rules.categoryPred, Rules.aliasPreds)
+          t0 = tr("canon", t0)
+          val out = cm.map(c => (kbLocal.toDF("subj", "pred", "obj"),
+            c.toDF("name", "comp")))
+          tr("toDF", t0)
+          out
+        }
+      } else None
+
+    val kb = fusedDims.map(_._1).getOrElse(small(stage("kb_triples", Seq.empty) {
       import spark.implicits._
       // ONE collect of the bounded ment2ent dimension feeds both the trie
       // dictionary and (via m2eCollected) the fast-path closure — the dim
@@ -89,16 +140,17 @@ object KgPipeline {
       KbExpand.expand(spark, mentions, ment2ent, avpair, Rules.recursivePreds,
         driverThreshold = dimThreshold,
         m2eCollected = if (dimThreshold > 0) Some(m2eRows.toMap) else None)
-    })
+    }))
 
     val kbT = kb.select(col("subj"), col("pred"), col("obj"),
       lit(null).cast("string").as("doc_id"), lit(-1).as("span_offset"))
 
     // the CC pass runs once and is snapshot-committed: resume never re-iterates
-    val canonMap = small(stage("canon_map", Seq("kb_triples")) {
-      Canon.canonicalMap(kb, Rules.categoryPred, Rules.aliasPreds,
-        ccDriverThreshold = dimThreshold)
-    })
+    val canonMap = fusedDims.map(_._2).getOrElse(
+      small(stage("canon_map", Seq("kb_triples")) {
+        Canon.canonicalMap(kb, Rules.categoryPred, Rules.aliasPreds,
+          ccDriverThreshold = dimThreshold)
+      }))
 
     val triples = stage("triples", Seq("weibo_triples", "kb_triples", "canon_map")) {
       val all = Canon.canonicalize(weibo.unionByName(kbT), canonMap)

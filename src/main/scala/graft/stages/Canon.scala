@@ -175,6 +175,47 @@ object Canon {
     comp
   }
 
+  /** The driver image of the canonical-map dataflow over an already-local
+    * KB triple set — labels, containment+alias union-find, non-identity
+    * pairs. Shared by [[canonicalMap]]'s fast path and KgPipeline's fused
+    * dim phase. Returns None when the name set exceeds the quadratic
+    * containment loop's sane bound (callers fall back to the bigram-blocked
+    * dataflow). Semantics identical to the dataflow path — parity-tested in
+    * KgParitySpec. */
+  private[graft] def canonicalMapLocal(
+      rows: Iterable[(String, String, String)], categoryPred: String,
+      aliasPreds: Set[String]): Option[Seq[(String, String)]] = {
+    val labelMap = scala.collection.mutable.HashMap[String, scala.collection.mutable.Set[String]]()
+    def addLabel(n: String, l: String): Unit =
+      labelMap.getOrElseUpdate(n, scala.collection.mutable.HashSet[String]()) += l
+    val religious = rows.collect {
+      case (s, p, o) if p == categoryPred && o == "宗教" => s }.toSet
+    rows.foreach { case (s, p, o) =>
+      if (p == categoryPred) addLabel(s, o)
+      addLabel(o, targetLabel(p, religious.contains(s)))
+    }
+    val names = labelMap.keySet.toVector.sorted
+    // the quadratic containment loop is only sane for small name sets;
+    // larger dictionaries use the bigram-blocked dataflow
+    if (names.size > 20000) return None
+    val parent = scala.collection.mutable.HashMap[String, String]()
+    def find(x: String): String = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: String, b: String): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    for (a <- names; b <- names)
+      if (a != b && b.length >= 2 && a.contains(b) &&
+        labelMap(b).subsetOf(labelMap(a))) union(a, b)
+    rows.foreach { case (s, p, o) => if (aliasPreds.contains(p)) union(s, o) }
+    Some(names.map(n => (n, find(n))).filter(x => x._1 != x._2))
+  }
+
   /** Full canonical map for a KB triple set: name → canonical name (only
     * names whose canonical differs are returned — the join side stays small). */
   def canonicalMap(kbTriples: DataFrame, categoryPred: String,
@@ -197,36 +238,9 @@ object Canon {
       import spark.implicits._
       val rows = kbTriples.select("subj", "pred", "obj")
         .as[(String, String, String)].collect()
-      val labelMap = scala.collection.mutable.HashMap[String, scala.collection.mutable.Set[String]]()
-      def addLabel(n: String, l: String): Unit =
-        labelMap.getOrElseUpdate(n, scala.collection.mutable.HashSet[String]()) += l
-      val religious = rows.collect {
-        case (s, p, o) if p == categoryPred && o == "宗教" => s }.toSet
-      rows.foreach { case (s, p, o) =>
-        if (p == categoryPred) addLabel(s, o)
-        addLabel(o, targetLabel(p, religious.contains(s)))
-      }
-      val names = labelMap.keySet.toVector.sorted
-      // the quadratic containment loop is only sane for small name sets;
-      // larger dictionaries use the bigram-blocked dataflow below
-      if (names.size <= 20000) {
-      val parent = scala.collection.mutable.HashMap[String, String]()
-      def find(x: String): String = {
-        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      def union(a: String, b: String): Unit = {
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      for (a <- names; b <- names)
-        if (a != b && b.length >= 2 && a.contains(b) &&
-          labelMap(b).subsetOf(labelMap(a))) union(a, b)
-      rows.foreach { case (s, p, o) => if (aliasPreds.contains(p)) union(s, o) }
-      return names.map(n => (n, find(n))).filter(x => x._1 != x._2)
-        .toDF("name", "comp")
+      canonicalMapLocal(rows, categoryPred, aliasPreds) match {
+        case Some(cm) => return cm.toDF("name", "comp")
+        case None => () // name set too large for the quadratic loop — dataflow
       }
     }
 

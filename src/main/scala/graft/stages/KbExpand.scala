@@ -23,6 +23,39 @@ import org.apache.spark.sql.functions._
   */
 object KbExpand {
 
+  /** The driver BFS walk of the dimension-bounded KB closure — exactly the
+    * reference's HashMap recursion (AbstractSubjectGraph.kt:17–46), shared
+    * by [[expand]]'s fast path and KgPipeline's fused dim phase.
+    * @return visited entities, sorted (deterministic). */
+  private[graft] def expandLocal(
+      seedMentions: Iterable[String],
+      m2e: Map[String, Seq[String]],
+      av: Map[String, Array[(String, String, String)]],
+      recursivePreds: Set[String]): Seq[String] = {
+    val visited = scala.collection.mutable.HashSet[String]()
+    val queue = scala.collection.mutable.Queue[String]()
+    seedMentions.foreach(queue.enqueue)
+    while (queue.nonEmpty) {
+      val m = queue.dequeue()
+      m2e.getOrElse(m, Nil).foreach { e =>
+        if (!visited.contains(e)) {
+          visited += e
+          av.getOrElse(e, Array.empty).foreach { case (_, p, o) =>
+            if (recursivePreds.contains(p)) queue.enqueue(o)
+          }
+        }
+      }
+    }
+    visited.toSeq.sorted
+  }
+
+  /** Distinct (subj, pred, obj) triples of the visited entities — the local
+    * image of `visited ⋈ avpair` (avpair complete by the threshold check). */
+  private[graft] def triplesLocal(
+      visited: Seq[String],
+      av: Map[String, Array[(String, String, String)]]): Seq[(String, String, String)] =
+    visited.iterator.flatMap(e => av.getOrElse(e, Array.empty)).toVector.distinct
+
   /** @param mentions  single-column DF `mention` (distinct seed mentions)
     * @param ment2ent  (mention, entities: array<string>) dimension
     * @param avpair    (entity, pred, obj) dimension
@@ -60,27 +93,16 @@ object KbExpand {
       val m2e = m2eCollected.getOrElse(
         ment2ent.select(col("mention"), col("entities"))
           .as[(String, Seq[String])].collect().toMap)
+      // avLimited holds the COMPLETE avpair table (limit N+1 returned ≤ N)
       val av = avLimited
         .map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .groupBy(_._1)
-      val visited = scala.collection.mutable.HashSet[String]()
-      val queue = scala.collection.mutable.Queue[String]()
-      mentions.select("mention").as[String].collect().foreach(queue.enqueue)
-      while (queue.nonEmpty) {
-        val m = queue.dequeue()
-        m2e.getOrElse(m, Nil).foreach { e =>
-          if (!visited.contains(e)) {
-            visited += e
-            av.getOrElse(e, Array.empty).foreach { case (_, p, o) =>
-              if (recursivePreds.contains(p)) queue.enqueue(o)
-            }
-          }
-        }
-      }
-      return visited.toSeq.sorted.toDF("entity")
-        .join(broadcast(avpair), Seq("entity"))
-        .select(col("entity").as("subj"), col("pred"), col("obj"))
-        .distinct()
+      val seeds = mentions.select("mention").as[String].collect()
+      // the result is built fully driver-side as a LocalRelation — no
+      // join/broadcast/checkpoint jobs; each spared dim-phase job is serial
+      // driver latency that lands 1:1 on the small-cluster pipeline wall
+      return triplesLocal(expandLocal(seeds, m2e, av, recursivePreds), av)
+        .toDF("subj", "pred", "obj")
     }
 
     val recPreds = recursivePreds.toSeq
