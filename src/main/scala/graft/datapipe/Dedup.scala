@@ -245,9 +245,11 @@ object Dedup {
   /** The scrub step after pair verification: near-duplication is transitive
     * in practice (A≈B, B≈C ⇒ the whole chain is one boilerplate family), so
     * the keep/drop decision runs connected components over the verified
-    * pair graph — the same salted min-propagation CC kernel the KG
-    * canonicalizer uses (Canon.connectedComponents), which is the operator's
-    * 100 TB shape. Input: (id1, id2) pairs; output: (id, keep_id) for every
+    * pair graph — the O(log n)-round large-star/small-star kernel
+    * (Canon.ccLogRounds): near-dup chains from template drift give this
+    * graph a real diameter, and at 100 TB each extra diameter hop of the
+    * min-propagation kernel would be a full shuffle round.
+    * Input: (id1, id2) pairs; output: (id, keep_id) for every
     * clustered id, keep = MIN id of the cluster (keepers map to themselves;
     * callers drop rows with id ≠ keep_id). Ids pass through a monotone
     * fixed-width string encoding (offset by 2^63, zero-padded) before the
@@ -260,7 +262,7 @@ object Dedup {
       lpad((c.cast("decimal(20,0)") + off).cast("decimal(20,0)").cast("string"),
         20, "0")
     def dec(c: Column) = (c.cast("decimal(20,0)") - off).cast("long")
-    graft.stages.Canon.connectedComponents(pairs.select(
+    graft.stages.Canon.ccLogRounds(pairs.select(
         enc(col("id1")).as("a"), enc(col("id2")).as("b")))
       .select(dec(col("name")).as("id"), dec(col("comp")).as("keep_id"))
   }

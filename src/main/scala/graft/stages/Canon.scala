@@ -102,6 +102,37 @@ object Canon {
     *
     * @return (name, comp) where comp = lexicographically-min name reachable.
     */
+  /** Last iterative-kernel round count — a test/diagnostic seam written by
+    * [[connectedComponents]] and [[ccLogRounds]] (0 after a driver fast
+    * path). */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** Driver union-find over a symmetric edge frame when it fits under
+    * `threshold` — one collect job instead of O(rounds) shuffle rounds;
+    * shared by both iterative kernels. */
+  private def driverCc(sym: DataFrame, threshold: Long): Option[DataFrame] = {
+    if (threshold <= 0 || sym.count() > threshold) return None
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap[String, String]()
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val pairs = sym.as[(String, String)].collect()
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // sym is symmetric → every node occurs as src
+    val nodes = pairs.iterator.map(_._1).toSet
+    lastCcRounds = 0
+    Some(nodes.iterator.map(n => (n, find(n))).toSeq.toDF("name", "comp"))
+  }
+
   def connectedComponents(edges: DataFrame, salt: Int = 16,
                           checkpointEvery: Int = 3,
                           driverThreshold: Long = 0L): DataFrame = {
@@ -114,26 +145,8 @@ object Canon {
     // corpus), so it usually fits the driver: a collected union-find costs
     // one job instead of O(diameter) shuffle rounds. The iterative kernel
     // below remains the path for an unbounded alias graph.
-    if (driverThreshold > 0 && sym.count() <= driverThreshold) {
-      val spark = edges.sparkSession
-      import spark.implicits._
-      val parent = scala.collection.mutable.HashMap[String, String]()
-      def find(x: String): String = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      val pairs = sym.as[(String, String)].collect()
-      pairs.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      // sym is symmetric → every node occurs as src
-      val nodes = pairs.iterator.map(_._1).toSet
-      return nodes.iterator.map(n => (n, find(n))).toSeq.toDF("name", "comp")
-    }
+    val fast = driverCc(sym, driverThreshold)
+    if (fast.isDefined) return fast.get
 
     var comp = sym.select(col("src").as("name")).distinct()
       .withColumn("comp", col("name"))
@@ -172,7 +185,93 @@ object Canon {
       comp = comp.localCheckpoint() // detach the result from the cache...
       prevCached.unpersist()        // ...then release the final iteration
     }
+    lastCcRounds = iter
     comp
+  }
+
+  /** Connected components in O(log n) shuffle rounds — the alternating
+    * large-star/small-star kernel (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", 2014). [[connectedComponents]]' min-propagation
+    * pays one full shuffle round PER HOP of component diameter; the
+    * corpus-scale dedup pair graph (Dedup.dedupClusters) carries near-dup
+    * CHAINS from template drift whose diameter, at 100 TB, would make hop
+    * count the wall-clock. Star rounds instead halve the tree height each
+    * alternation, independent of diameter.
+    *
+    * Each round: large-star hangs every neighbor v > u of each center u
+    * onto m = min(N(u) ∪ {u}); small-star then hangs the smaller neighbors
+    * (and u itself) onto the local min. Both are ordinary two-phase min
+    * aggregates + equi-joins — hub centers are absorbed by map-side partial
+    * aggregation and the AQE skew join, no explicit salting needed.
+    * Convergence = the oriented edge set reaches its fixed point (stars
+    * pointing at component minima), detected by a (count, hash-sum)
+    * signature; lineage is truncated every round (the round count is
+    * logarithmic, so checkpoint cost is bounded).
+    *
+    * Same contract as [[connectedComponents]] (parity-tested on randomized
+    * graphs in CcHygieneSpec): undirected (src, dst) edges in, (name,
+    * comp = lexicographically-smallest reachable name) out, nodes with no
+    * edges absent. */
+  def ccLogRounds(edges: DataFrame, driverThreshold: Long = 0L,
+                  maxRounds: Int = 64): DataFrame = {
+    val e0 = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
+
+    if (driverThreshold > 0) {
+      val sym = e0
+        .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      val fast = driverCc(sym, driverThreshold)
+      if (fast.isDefined) return fast.get
+    }
+
+    def sig(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: order-independent, collision-safe enough next to
+      // the count, and cannot overflow under ANSI arithmetic
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // canonical orientation: src > dst (small-star's input contract, and a
+    // stable representation for the convergence signature)
+    var e = e0.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint()
+    var prevSig = sig(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // large-star: m(u) = min over N(u) ∪ {u}; emit (v, m) for v > u.
+      // Each undirected edge is emitted exactly once — from its smaller
+      // endpoint's center (the larger endpoint sees a smaller neighbor).
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val lmins = sym.groupBy("src")
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = sym.join(lmins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct() // m ≤ u < v ⇒ already src > dst oriented, no self loops
+      // small-star on the (src > dst)-oriented set: m(u) = min(N_small(u));
+      // emit (v, m) for v ∈ N_small(u) \ {m}, plus (u, m)
+      val smins = ls.groupBy("src").agg(min(col("dst")).as("m"))
+      val ss = ls.join(smins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(smins.select(col("src"), col("m").as("dst")))
+        .distinct()
+      e = ss.localCheckpoint()
+      val s = sig(e)
+      rounds += 1
+      if (s == prevSig) converged = true else prevSig = s
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ccLogRounds did not converge in $maxRounds star rounds")
+    lastCcRounds = rounds
+    // fixed point: every edge is (node, component-min); roots map to themselves
+    e.select(col("src").as("name"), col("dst").as("comp"))
+      .unionByName(e.select(col("dst").as("name"), col("dst").as("comp")).distinct())
   }
 
   /** The driver image of the canonical-map dataflow over an already-local
@@ -250,7 +349,10 @@ object Canon {
       .filter(col("pred").isin(aliasPreds.toSeq: _*))
       .select(col("subj").as("a"), col("obj").as("b"))
     val edges = containmentEdges(labels).unionByName(aliasEdges).distinct()
-    connectedComponents(edges, driverThreshold = ccDriverThreshold)
+    // log-rounds star kernel: the alias graph is usually shallow, but its
+    // containment chains (nested names) give it diameter too, and the star
+    // kernel costs no more on shallow graphs (2–3 rounds)
+    ccLogRounds(edges, driverThreshold = ccDriverThreshold)
       .filter(col("comp") =!= col("name"))
   }
 

@@ -1,6 +1,7 @@
 package graft
 
 import graft.stages.Canon
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Long-diameter connected-components run: convergence over many
@@ -27,5 +28,43 @@ class CcHygieneSpec extends AnyFunSuite {
     // unpersist)
     assert(spark.sharedState.cacheManager.isEmpty,
       "CC left superseded iterations in the CacheManager")
+  }
+
+  test("star kernel: 64-link chain converges in O(log n) rounds, not O(diameter)") {
+    // the planted adversary for min-propagation: a 65-node chain needs 64
+    // propagation rounds (one shuffle round per diameter hop); the
+    // large-star/small-star alternation must close it in ~⌈log₂ 64⌉ + c
+    val n = 65
+    val edges = (0 until n - 1)
+      .map(i => (f"c$i%02d", f"c${i + 1}%02d")).toDF("src", "dst")
+    val comp = Canon.ccLogRounds(edges).as[(String, String)].collect()
+    assert(comp.length === n)
+    assert(comp.forall(_._2 == "c00"))
+    assert(Canon.lastCcRounds <= 10,
+      s"star kernel took ${Canon.lastCcRounds} rounds on a 64-link chain " +
+        "(min-propagation territory)")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("star kernel ≡ min-propagation on randomized graphs") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      // mixed topology: random edges + a planted chain + a hub star, with
+      // some isolated-pair components; ids shuffled so min placement varies
+      val ids = rnd.shuffle((0 until 120).map(i => f"v${i}%03d").toVector)
+      val rand = Seq.fill(80)((ids(rnd.nextInt(60)), ids(rnd.nextInt(60))))
+      val chain = (60 until 90 - 1).map(i => (ids(i), ids(i + 1)))
+      val hub = (91 until 110).map(i => (ids(90), ids(i)))
+      val pairs = (110 until 120 by 2).map(i => (ids(i), ids(i + 1)))
+      val edges = (rand ++ chain ++ hub ++ pairs).toDF("src", "dst")
+        .filter(col("src") =!= col("dst")) // both kernels see loop-free input
+      val starRows = Canon.ccLogRounds(edges).as[(String, String)].collect()
+      val star = starRows.toSet
+      assert(starRows.length === star.size, "star kernel emitted duplicate rows")
+      val minProp = Canon.connectedComponents(edges)
+        .as[(String, String)].collect().toSet
+      assert(star === minProp, s"kernel divergence on trial $trial")
+    }
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 }
