@@ -222,11 +222,11 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fp"))),
     "q_text_stats" -> ((s, d) => {
-      val toks = split(trim(col("text")), "\\s+")
+      val c = TextStats.textCounts(col("text"))
       t(s, d, "documents").select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct"),
-        length(col("text")).as("n_chars_m"))
+        c.getField("token_count").as("n_tokens"),
+        c.getField("distinct_tokens").as("n_distinct"),
+        c.getField("char_count").as("n_chars_m"))
     }),
     "q_quality_score" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),

@@ -15,28 +15,53 @@ object TextStats {
     * extra units for every 4 chars of long words. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Every scalar per-doc counter in ONE text walk — the fused native
+    * expression (functions/TextCounts). All the scalar signals below are
+    * plain field reads of this struct; in a multi-signal projection
+    * (q_corpus_scrub) Catalyst's subexpression elimination evaluates the
+    * walk once per row (plan-pinned in PlanSpec). */
+  def textCounts(text: Column): Column = graft.functions.TextCounts(text)
+
+  def tokenCount(text: Column): Column =
+    textCounts(text).getField("token_count")
 
   /** subword-unit estimate: ceil(len/4) summed over words — a cheap,
     * deterministic stand-in for a BPE vocab (no model shipped). */
   def subwordCount(text: Column): Column =
-    aggregate(tokens(text), lit(0),
-      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int"))
+    textCounts(text).getField("subword_count")
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   def stopwordCount(text: Column): Column =
+    textCounts(text).getField("stopword_count")
+
+  // ---- interpreted-HOF formulations, retained ONLY as parity oracles for
+  // the fused expression (DatapipeSpec pins them bit-identical) -------------
+  private[graft] def tokenCountHof(text: Column): Column = size(tokens(text))
+  private[graft] def subwordCountHof(text: Column): Column =
+    aggregate(tokens(text), lit(0),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int"))
+  private[graft] def stopwordCountHof(text: Column): Column =
     size(filter(tokens(text), w => lower(w).isin(stopwords: _*)))
+  private[graft] def distinctTokensHof(text: Column): Column =
+    size(array_distinct(tokens(text)))
+  private[graft] def cjkCountHof(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
+  private[graft] def punctCountHof(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
+  private[graft] def symbolCountHof(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
 
   /** Quality score in [0,1]: length band + punctuation ratio + stopword
     * presence — the usual pre-training heuristics, deterministic and
-    * SQL-expressible for the oracle. */
+    * SQL-expressible for the oracle. One fused text walk. */
   def qualityScore(text: Column): Column = {
-    val n = length(text)
-    val punct = n - length(regexp_replace(text, "[\\.,;:!\\?]", ""))
-    val punctRatio = punct.cast("double") / greatest(n, lit(1)).cast("double")
-    val stopRatio = stopwordCount(text).cast("double") /
-      greatest(tokenCount(text), lit(1)).cast("double")
+    val c = textCounts(text)
+    val n = c.getField("char_count")
+    val punctRatio = c.getField("punct_count").cast("double") /
+      greatest(n, lit(1)).cast("double")
+    val stopRatio = c.getField("stopword_count").cast("double") /
+      greatest(c.getField("token_count"), lit(1)).cast("double")
     val lenScore = when(n.between(50, 2000), 1.0)
       .when(n.between(10, 5000), 0.5).otherwise(0.0)
     round(lenScore * 0.4 + least(stopRatio * lit(4.0), lit(1.0)) * 0.4 +
@@ -44,16 +69,14 @@ object TextStats {
   }
 
   /** n-gram language-ID heuristic: script ratio first (CJK vs latin), then
-    * an English stopword-density check. */
+    * an English stopword-density check. One fused text walk; the cjk ratio
+    * uses the RAW length (an empty document is 'unk', never 'zh'). */
   def langId(text: Column): Column = {
-    val n = greatest(length(text), lit(1))
-    // cjk count from the RAW length — the clamped n would credit an empty
-    // document with one phantom CJK char and classify "" as 'zh' (review
-    // finding; the DuckDB oracles compute it from the raw length)
-    val cjk = length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
-    val stopRatio = stopwordCount(text).cast("double") /
-      greatest(tokenCount(text), lit(1)).cast("double")
-    when(cjk.cast("double") / n.cast("double") > 0.3, "zh")
+    val c = textCounts(text)
+    val n = greatest(c.getField("char_count"), lit(1))
+    val stopRatio = c.getField("stopword_count").cast("double") /
+      greatest(c.getField("token_count"), lit(1)).cast("double")
+    when(c.getField("cjk_count").cast("double") / n.cast("double") > 0.3, "zh")
       .when(stopRatio > 0.02, "en")
       .otherwise("unk")
   }
@@ -69,11 +92,11 @@ object TextStats {
   // column expressions that run inside the scan pass with the other scores.
 
   /** Fraction of tokens that are repeats of an earlier token:
-    * 1 − |distinct tokens| / |tokens|. */
+    * 1 − |distinct tokens| / |tokens|. One fused text walk. */
   def dupTokenFraction(text: Column): Column = {
-    val toks = tokens(text)
-    round(lit(1.0) - size(array_distinct(toks)).cast("double") /
-      greatest(size(toks), lit(1)).cast("double"), 4)
+    val c = textCounts(text)
+    round(lit(1.0) - c.getField("distinct_tokens").cast("double") /
+      greatest(c.getField("token_count"), lit(1)).cast("double"), 4)
   }
 
   /** Fraction of lines that are repeats of an earlier line (boilerplate
@@ -85,11 +108,12 @@ object TextStats {
   }
 
   /** Symbol characters (anything outside [A-Za-z0-9 ]) per word — high
-    * values flag markup/code/mojibake masquerading as text. */
-  def symbolWordRatio(text: Column): Column =
-    round((length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
-      .cast("double") /
-      greatest(tokenCount(text), lit(1)).cast("double"), 4)
+    * values flag markup/code/mojibake masquerading as text. One fused walk. */
+  def symbolWordRatio(text: Column): Column = {
+    val c = textCounts(text)
+    round(c.getField("symbol_count").cast("double") /
+      greatest(c.getField("token_count"), lit(1)).cast("double"), 4)
+  }
 
   /** Fraction of tokens covered by the single most frequent bigram
     * (2 × max bigram count / token count). Needs a per-doc frequency table,

@@ -252,6 +252,77 @@ class DatapipeSpec extends AnyFunSuite {
     assert(hits.forall(_._2 === 1L))
   }
 
+  test("fused text counters ≡ the HOF formulations, field by field") {
+    // adversarial edges: empty ("" splits to [""], count 1), whitespace-only,
+    // non-space whitespace that Spark's space-only trim keeps (leading/
+    // trailing empty tokens), CJK, punctuation runs, casing, fullwidth forms
+    val edges = Seq("", " ", "   ", "\t", " \t ", "a", "the", "THE the In iS it",
+      "word", "  leading sp", "trailing  ", "\ta\tb\n", "a  b", "多字 中文 test",
+      "中文字符" * 25, "a.b,c;d:e!f?g", "!!!", ("longwordkeepsgoing " * 5).trim,
+      "a\nb\nc\na", "İT IT it", "ＡＢＣ the", "of+and 10.0.0.1 a?b!c", "  ",
+      "the the the a a of", "x   y") // NBSP is NOT \s: stays a token char
+    val r = new java.util.Random(23)
+    val vocab = Seq("the", "a", "of", "and", "to", "in", "is", "it", "fox",
+      "catalyst", "多字", "中文", "x.y", "a,b", "??", "LongWordWithCase", "Ｘ")
+    val random = (0 until 150).map { _ =>
+      (0 until r.nextInt(25)).map(_ => vocab(r.nextInt(vocab.size)))
+        .mkString(Seq(" ", "  ", "\t", "\n", " ")(r.nextInt(5)))
+    }
+    val df = (edges ++ random).zipWithIndex.map(_.swap).toDF("i", "text")
+    val c = TextStats.textCounts(col("text"))
+    val both = df.select(col("i"), col("text"),
+      c.getField("char_count").as("n_char"), length(col("text")).as("h_char"),
+      c.getField("token_count").as("n_tok"), TextStats.tokenCountHof(col("text")).as("h_tok"),
+      c.getField("distinct_tokens").as("n_dis"), TextStats.distinctTokensHof(col("text")).as("h_dis"),
+      c.getField("subword_count").as("n_sub"), TextStats.subwordCountHof(col("text")).as("h_sub"),
+      c.getField("stopword_count").as("n_stop"), TextStats.stopwordCountHof(col("text")).as("h_stop"),
+      c.getField("cjk_count").as("n_cjk"), TextStats.cjkCountHof(col("text")).as("h_cjk"),
+      c.getField("punct_count").as("n_punct"), TextStats.punctCountHof(col("text")).as("h_punct"),
+      c.getField("symbol_count").as("n_sym"), TextStats.symbolCountHof(col("text")).as("h_sym"))
+    val bad = both.filter(
+      col("n_char") =!= col("h_char") || col("n_tok") =!= col("h_tok") ||
+      col("n_dis") =!= col("h_dis") || col("n_sub") =!= col("h_sub") ||
+      col("n_stop") =!= col("h_stop") || col("n_cjk") =!= col("h_cjk") ||
+      col("n_punct") =!= col("h_punct") || col("n_sym") =!= col("h_sym"))
+      .collect()
+    assert(bad.isEmpty, s"fused-counter divergence: ${bad.take(3).mkString("; ")}")
+    // composite signals: pin the REBUILT quality/langid against the original
+    // column formulations (the shape the DuckDB oracles mirror), including a
+    // null row — least()/greatest() skip nulls, so quality(null) is 0.4 in
+    // both formulations, not null
+    def qualityHof(text: org.apache.spark.sql.Column) = {
+      val n = length(text)
+      val punctRatio = TextStats.punctCountHof(text).cast("double") /
+        greatest(n, lit(1)).cast("double")
+      val stopRatio = TextStats.stopwordCountHof(text).cast("double") /
+        greatest(TextStats.tokenCountHof(text), lit(1)).cast("double")
+      val lenScore = when(n.between(50, 2000), 1.0)
+        .when(n.between(10, 5000), 0.5).otherwise(0.0)
+      round(lenScore * 0.4 + least(stopRatio * lit(4.0), lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * 0.2, 4)
+    }
+    def langIdHof(text: org.apache.spark.sql.Column) = {
+      val n = greatest(length(text), lit(1))
+      val stopRatio = TextStats.stopwordCountHof(text).cast("double") /
+        greatest(TextStats.tokenCountHof(text), lit(1)).cast("double")
+      when(TextStats.cjkCountHof(text).cast("double") / n.cast("double") > 0.3, "zh")
+        .when(stopRatio > 0.02, "en")
+        .otherwise("unk")
+    }
+    val withNull = df.unionByName(Seq((9999, null: String)).toDF("i", "text"))
+    val badComposite = withNull.select(col("i"),
+        TextStats.qualityScore(col("text")).as("q"), qualityHof(col("text")).as("hq"),
+        TextStats.langId(col("text")).as("l"), langIdHof(col("text")).as("hl"))
+      .filter(!(col("q") <=> col("hq")) || !(col("l") <=> col("hl")))
+      .collect()
+    assert(badComposite.isEmpty,
+      s"composite divergence: ${badComposite.take(3).mkString("; ")}")
+    // the struct itself null-propagates
+    val nulls = Seq((0, null: String)).toDF("i", "text")
+      .select(TextStats.textCounts(col("text")).as("c")).collect()(0)
+    assert(nulls.isNullAt(0))
+  }
+
   test("native sign bucket ≡ the HOF formulation, bit for bit") {
     val r = new java.util.Random(11)
     // row 300 is the EMPTY vector: the HOF null-propagates it to bucket 0

@@ -113,6 +113,23 @@ class PlanSpec extends AnyFunSuite {
       s"chunk dedup collapsed to a single partition:\n$p")
   }
 
+  test("corpus-scrub projection: ONE fused text walk per row, inside codegen") {
+    import graft.functions.TextCounts
+    val df = SparkEntry.queries("q_corpus_scrub")(spark, sf)
+    TextCounts.evals.set(0)
+    TextCounts.countEvals = true
+    val n = try df.collect().length finally TextCounts.countEvals = false
+    val walks = TextCounts.evals.get()
+    assert(n > 0)
+    // quality + langid + dup_frac read the struct ~10 times per row; CSE
+    // must collapse them to one walk (2n headroom for speculative retries)
+    assert(walks <= 2L * n,
+      s"fused text walk ran $walks times for $n rows — subexpression " +
+        "elimination is not collapsing the scrub projection")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"scrub projection fell out of codegen:\n$p")
+  }
+
   test("exact-dedup hot path stays inside whole-stage codegen") {
     // fingerprint (trim/regexp_replace/lower/md5) + two-phase HashAggregate
     // must all live in codegen stages ("*(n)" spans); lambda higher-order
