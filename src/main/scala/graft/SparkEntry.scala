@@ -407,6 +407,49 @@ object SparkEntry {
       Similarity.ivfTopK(embs.filter(col("vec_id") < 20), embs, "vec_id", "v", 3,
         nCentroids = 16, nProbe = 2)
     }),
+    "q_embed_ivf_trained" -> ((s, d) => {
+      // IVF over TRAINED centroids (Lloyd's k-means) in the gate. Lloyd's
+      // is not portably SQL-reproducible (order-dependent double means), so
+      // the row is a SELF-GATE cross-checked on everything an external
+      // engine CAN reproduce: the oracle independently recomputes the
+      // seed-rule recall@10 and the seed-rule QUANTIZATION ERROR, and pins
+      // trained_qe_le_seed = TRUE — guaranteed by Lloyd's monotone descent
+      // from exactly this seed init, so the hash goes red if training ever
+      // regresses the objective. (Recall itself is NOT a monotone gate: on
+      // near-orthogonal synthetic vectors the seed rule's unbalanced cells
+      // cover more corpus per probe, trading compute for recall — measured.)
+      // The trained ivfTopK path still runs end-to-end: n_trained_rows pins
+      // a full top-10 per query out of the trained cell layout. Exact
+      // decimal sums keep every comparison order-independent.
+      val embs = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      val qs = embs.filter(col("vec_id") < 20)
+      val corpus = embs.select(col("vec_id").as("id"), col("v"))
+      val seedCent = embs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val cent = Similarity.trainCentroids(embs, "vec_id", "v", k = 16, iters = 5)
+        .localCheckpoint()
+      def qeSum(c: DataFrame) = Similarity.assignCells(corpus, c)
+        .agg(sum((lit(1.0) - col("csim")).cast("decimal(10,6)")).as("qe"))
+      val exact = Similarity.bruteForceTopK(qs, embs, "vec_id", "v", 10)
+      val rSeed = Similarity.recallAtK(
+        Similarity.ivfTopK(qs, embs, "vec_id", "v", 10, nCentroids = 16,
+          nProbe = 2), exact, 10)
+      val nTrained = Similarity.ivfTopK(qs, embs, "vec_id", "v", 10,
+          nCentroids = 16, nProbe = 2, centroids = Some(cent))
+        .agg(count(lit(1)).as("n_trained_rows"))
+      rSeed.agg(count(lit(1)).as("n_queries"),
+          sum(col("recall").cast("decimal(8,4)")).as("ss"))
+        .crossJoin(qeSum(seedCent).withColumnRenamed("qe", "qe_seed"))
+        .crossJoin(qeSum(cent).withColumnRenamed("qe", "qe_trained"))
+        .crossJoin(corpus.agg(count(lit(1)).as("n_vec")))
+        .crossJoin(nTrained)
+        .select(col("n_queries"), col("n_vec"),
+          round(col("ss").cast("double") / col("n_queries"), 4).as("seed_recall"),
+          round(col("qe_seed").cast("double") / col("n_vec"), 6).as("seed_qe"),
+          (col("qe_trained") <= col("qe_seed")).as("trained_qe_le_seed"),
+          col("n_trained_rows"))
+    }),
     "q_ann_recall" -> ((s, d) => {
       // the ANN self-check: recall@10 of multi-probe LSH vs brute force on
       // a sampled query slice (both computed distributed; the slice is tiny)
@@ -773,6 +816,43 @@ object SparkEntry {
         "FROM prb p JOIN asg a USING (cid) WHERE p.query_id <> a.id), " +
         "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc) " +
         "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3"),
+    // seed-rule IVF recall@10 recomputed end-to-end; the trained side is the
+    // engine's self-gate (Lloyd's is not portably SQL-reproducible), pinned
+    // to TRUE — the row hash goes red if training ever degrades recall
+    "q_embed_ivf_trained" ->
+      ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16), " +
+        "asg AS (SELECT vec_id AS id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid) AS rn " +
+        "FROM emb e CROSS JOIN cent c) WHERE rn = 1), " +
+        "prb AS (SELECT vec_id AS query_id, v AS qv, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid) AS rn " +
+        "FROM emb e CROSS JOIN cent c WHERE e.vec_id < 20) WHERE rn <= 2), " +
+        "sc AS (SELECT p.query_id, a.id, " +
+        "round(list_dot_product(p.qv, a.v) / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos " +
+        "FROM prb p JOIN asg a USING (cid) WHERE p.query_id <> a.id), " +
+        "r AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc), " +
+        "ap AS (SELECT query_id, id FROM r WHERE rank <= 10), " +
+        "bq AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20), " +
+        "bs AS (SELECT bq.query_id, emb.vec_id AS id, " +
+        "round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos " +
+        "FROM bq, emb WHERE bq.query_id <> emb.vec_id), " +
+        "br AS (SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM bs), " +
+        "ex10 AS (SELECT query_id, id FROM br WHERE rank <= 10), " +
+        "pr AS (SELECT e.query_id, round(CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10, 4) AS recall " +
+        "FROM ex10 e LEFT JOIN ap a ON e.query_id = a.query_id AND e.id = a.id GROUP BY 1), " +
+        // seed-rule quantization error from the SAME deterministic assignment
+        "qa AS (SELECT a.id, round(list_dot_product(a.v, c.cv) / " +
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim " +
+        "FROM asg a JOIN cent c USING (cid)), " +
+        "qe AS (SELECT sum(CAST(1.0 - csim AS DECIMAL(10,6))) AS s, count(*) AS n_vec FROM qa) " +
+        "SELECT (SELECT count(*) FROM pr) AS n_queries, qe.n_vec, " +
+        "(SELECT round(CAST(sum(CAST(recall AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4) FROM pr) AS seed_recall, " +
+        "round(CAST(qe.s AS DOUBLE) / qe.n_vec, 6) AS seed_qe, " +
+        "TRUE AS trained_qe_le_seed, " +
+        "(SELECT count(*) * 10 FROM pr) AS n_trained_rows FROM qe"),
     "q_salted_agg" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
     "q_bucketed_join" ->
