@@ -173,6 +173,43 @@ object SparkEntry {
     "q_event_windows" -> ((s, d) =>
       // the streaming windowed-agg operator, oracle-checked on batch
       graft.streaming.Windowed.eventCounts(t(s, d, "events"), "ts", "event_type")),
+    "q_event_windows_stream" -> ((s, d) => {
+      // the STREAM path of the windowed aggregation (readStream → watermark
+      // → tumbling window → append-mode finalization), surfaced to the
+      // driver gate like q_sessionize_stream: same rows, same oracle as the
+      // batch twin. A far-future sentinel advances the watermark past every
+      // open window so append mode flushes them all.
+      import graft.streaming.Sessionize
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = t(s, d, "events")
+        .select(col("event_type").cast("string").as("key"),
+          col("ts").cast("timestamp").as("ts"))
+        .as[Sessionize.Ev].collect()
+      if (evs.isEmpty)
+        s.emptyDataFrame.select(lit(0L).as("window_start"),
+          lit("").as("event_type"), lit(0L).as("n")).limit(0)
+      else {
+        val maxTs = evs.iterator.map(_.ts.getTime).max
+        val qname = "graft_event_windows_stream"
+        s.catalog.dropTempView(qname)
+        val stream = MemoryStream[Sessionize.Ev]
+        val query = graft.streaming.Windowed
+          .eventCounts(stream.toDS().toDF(), "ts", "key")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          stream.addData(evs.toSeq)
+          query.processAllAvailable()
+          stream.addData(Seq(Sessionize.Ev(" wm",
+            new java.sql.Timestamp(maxTs + 30L * 24 * 3600 * 1000))))
+          query.processAllAvailable()
+        } finally query.stop()
+        s.table(qname).filter(col("key") =!= " wm")
+          .select(col("window_start"), col("key").as("event_type"), col("n"))
+      }
+    }),
     "q_sessionize" -> ((s, d) =>
       // gap-based sessionization (batch twin of the stateful stream op)
       graft.streaming.Sessionize.sessionsBatch(t(s, d, "events"),
@@ -477,11 +514,19 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("mime"),
           octet_length(col("payload")).as("n_bytes"))),
     "q_media_features" -> ((s, d) =>
-      // the stub features are exact stride byte sums — emit f0 as an exact
-      // integer so the DuckDB oracle can recompute it from hex(payload)
-      Multimodal.extractFeatures(s, Multimodal.mediaFromDocs(t(s, d, "documents")))
-        .toDF().select(col("doc_id"), col("kind"), col("n_bytes"),
-          col("feature")(0).cast("long").as("f0"))),
+      // image rows: REAL PNG payloads decoded through JDK ImageIO — the
+      // deterministic pixel function is closed-form, so the oracle verifies
+      // the decoded dims/means analytically, no codec needed. audio/video:
+      // stride-sum stub features the oracle recomputes from hex(payload).
+      // (image n_bytes/f0 are NULL — PNG encoding size is codec-internal,
+      // not an engine-portable content invariant.)
+      Multimodal.extractFeatures(s,
+          Multimodal.mediaWithRealImages(s, t(s, d, "documents")))
+        .toDF().select(col("doc_id"), col("kind"),
+          when(col("kind") =!= "image", col("n_bytes")).as("n_bytes"),
+          when(col("kind") =!= "image", col("feature")(0).cast("long")).as("f0"),
+          col("img_w"), col("img_h"),
+          col("mean_r"), col("mean_g"), col("mean_b"))),
     "q_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocs(t(s, d, "documents")))),
 
@@ -615,6 +660,10 @@ object SparkEntry {
       ("SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, count(*) AS n, " +
         "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value FROM events GROUP BY 1"),
     "q_event_windows" ->
+      ("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, " +
+        "event_type, count(*) AS n FROM events GROUP BY 1, 2"),
+    // the stream path must emit EXACTLY the batch twin's windows
+    "q_event_windows_stream" ->
       ("SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start, " +
         "event_type, count(*) AS n FROM events GROUP BY 1, 2"),
     "q_sessionize" ->
@@ -767,16 +816,34 @@ object SparkEntry {
       ("SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS offset_ms FROM documents, " +
         "unnest(generate_series(0, least(octet_length(encode(text)) // 100, 30))) AS u(i) " +
         "WHERE doc_id % 3 = 2"),
+    // audio/video: stride-sum stub recomputed from hex(payload); image: the
+    // REAL ImageIO-decoded dims/means verified ANALYTICALLY from the
+    // closed-form pixel function (no codec in DuckDB — that's the point:
+    // an independent derivation of what a correct decode must produce)
     "q_media_features" ->
       ("WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
         "encode(text) AS payload FROM documents), " +
-        "b AS (SELECT doc_id, kind, octet_length(payload) AS n_bytes, hex(payload) AS h FROM m), " +
-        "f AS (SELECT doc_id, kind, n_bytes, " +
+        "av AS (SELECT doc_id, kind, octet_length(payload) AS n_bytes, hex(payload) AS h FROM m WHERE kind <> 'image'), " +
+        "avf AS (SELECT doc_id, kind, n_bytes, " +
         "coalesce(sum(CASE WHEN u.i <= n_bytes AND (u.i - 1) % 8 = 0 " +
         "THEN ('0x' || substr(h, (u.i - 1) * 2 + 1, 2))::INT ELSE 0 END), 0) AS f0 " +
-        "FROM b CROSS JOIN unnest(generate_series(1, greatest(n_bytes, 1))) AS u(i) GROUP BY 1, 2, 3) " +
-        "SELECT doc_id, kind, n_bytes, CAST(f0 AS BIGINT) AS f0 FROM f"),
+        "FROM av CROSS JOIN unnest(generate_series(1, greatest(n_bytes, 1))) AS u(i) GROUP BY 1, 2, 3), " +
+        "im AS (SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h FROM m WHERE kind = 'image'), " +
+        "px AS (SELECT doc_id, w, h, " +
+        "(doc_id * 37 + x.x * 11) % 256 AS r, (doc_id * 59 + y.y * 17) % 256 AS g, " +
+        "(doc_id * 83 + (x.x + y.y) * 29) % 256 AS b " +
+        "FROM im CROSS JOIN unnest(generate_series(0, w - 1)) AS x(x) " +
+        "CROSS JOIN unnest(generate_series(0, h - 1)) AS y(y)), " +
+        "imf AS (SELECT doc_id, min(w) AS img_w, min(h) AS img_h, " +
+        "round(CAST(sum(r) AS DOUBLE) / (min(w) * min(h)), 6) AS mean_r, " +
+        "round(CAST(sum(g) AS DOUBLE) / (min(w) * min(h)), 6) AS mean_g, " +
+        "round(CAST(sum(b) AS DOUBLE) / (min(w) * min(h)), 6) AS mean_b FROM px GROUP BY 1) " +
+        "SELECT doc_id, kind, n_bytes, CAST(f0 AS BIGINT) AS f0, " +
+        "NULL::INT AS img_w, NULL::INT AS img_h, " +
+        "NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b FROM avf " +
+        "UNION ALL SELECT doc_id, 'image' AS kind, NULL::INT AS n_bytes, NULL::BIGINT AS f0, " +
+        "img_w, img_h, mean_r, mean_g, mean_b FROM imf"),
     "q_embed_neardup" ->
       ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500), " +
         embedBucketCtes(4) +

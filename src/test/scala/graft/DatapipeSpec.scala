@@ -492,16 +492,33 @@ class DatapipeSpec extends AnyFunSuite {
     assert(brute === 1.0) // recall of exact against itself is 1 by definition
   }
 
-  test("multimodal: feature extraction batch op + frame sampling") {
-    val media = Multimodal.mediaFromDocs(docs)
+  test("multimodal: real ImageIO decode + stub features + frame sampling") {
+    val media = Multimodal.mediaWithRealImages(spark, docs)
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.length === 5)
-    assert(feats.forall(_.feature.length === 8))
-    assert(feats.forall(f => f.n_bytes > 0))
-    // deterministic stub: same payload → same features
-    val f0 = feats.find(_.doc_id == 0L).get
-    val f1 = feats.find(_.doc_id == 1L).get
-    assert(f0.feature.toSeq === f1.feature.toSeq)
+    // image rows (doc_id % 3 == 0): REAL PNG round-trip — the decoded dims
+    // and channel means must equal the closed-form pixel function exactly
+    val imgs = feats.filter(_.kind == "image")
+    assert(imgs.nonEmpty)
+    imgs.foreach { f =>
+      val (w, h) = Multimodal.imgDims(f.doc_id)
+      assert(f.img_w === Some(w) && f.img_h === Some(h),
+        s"decoded dims diverge for doc ${f.doc_id}")
+      val px = for (x <- 0 until w; y <- 0 until h)
+        yield Multimodal.pixel(f.doc_id, x, y)
+      def m(sel: ((Int, Int, Int)) => Int) =
+        BigDecimal(px.map(sel).sum.toDouble / (w * h))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f.mean_r === Some(m(_._1)) && f.mean_g === Some(m(_._2)) &&
+        f.mean_b === Some(m(_._3)), s"decoded means diverge for doc ${f.doc_id}")
+    }
+    // audio/video rows: stub features, 8 strides, deterministic
+    val avs = feats.filter(_.kind != "image")
+    assert(avs.nonEmpty && avs.forall(_.feature.length === 8))
+    assert(avs.forall(f => f.n_bytes > 0))
+    // malformed image payload (not a PNG) → dead-letter None, no crash
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
     val frames = Multimodal.sampleFrames(media)
     assert(frames.filter(col("frame_idx") === 0).count() ===
       media.filter(col("kind") === "video").count())
