@@ -57,4 +57,33 @@ object Jdbc {
   /** Embedded Derby — the JDBC engine shipped with Spark's own jars, used
     * by JdbcSourceSpec so the path is exercised without network egress. */
   val derbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** The reference's restart loop composed with the snapshot layer (S1+S5):
+    * read only rows past the last COMMITTED high-water mark, snapshot-append
+    * them, and carry the new mark in the snapshot's manifest counters
+    * (FromScrappyDump.kt:352–357's `where id > $earliestId` + :392–406's
+    * periodic commit). A killed run resumes from the committed mark — rows
+    * already snapshotted are never re-fetched from the database; a run that
+    * finds nothing new commits nothing. Returns the rows ingested.
+    *
+    * `io.readAll(stage)` is then the full ingested table (epoch-append
+    * semantics, one snapshot per ingest run). */
+  def ingestIncremental(spark: SparkSession, io: graft.core.TableIO,
+                        stage: String, url: String, table: String,
+                        idCol: String, driver: String = derbyDriver): Long = {
+    import org.apache.spark.sql.functions._
+    val hwm = io.counterOf(stage, "high_water_mark").getOrElse(0L)
+    // one database scan: the incremental batch is pinned with localCheckpoint
+    // so the max-id probe and the snapshot write both read executor blocks
+    val batch = readIncremental(spark, url, table, idCol, hwm, driver)
+      .localCheckpoint()
+    val agg = batch.agg(max(col(idCol).cast("long")), count(lit(1))).collect()(0)
+    if (agg.isNullAt(0)) 0L
+    else {
+      io.commit(stage, batch, counters = Map(
+        "high_water_mark" -> agg.getLong(0),
+        "rows_ingested" -> agg.getLong(1)))
+      agg.getLong(1)
+    }
+  }
 }
