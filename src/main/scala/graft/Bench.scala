@@ -33,7 +33,9 @@ object Bench {
     "q_event_windows", "q_repetition", "q_chunk_dedup", "q_ann_recall",
     // round-3 operators
     "q_dedup_clusters", "q_decontaminate", "q_corpus_scrub",
-    "q_stratified_sample", "q_tfidf_keywords", "q_embed_ivf")
+    "q_stratified_sample", "q_tfidf_keywords", "q_embed_ivf",
+    // round-4 operators
+    "q_embed_ivf_trained", "q_media_features")
 
   private def session(master: String, parts: Int): SparkSession = {
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
