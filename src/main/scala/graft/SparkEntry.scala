@@ -410,6 +410,41 @@ object SparkEntry {
       Dedup.decontaminate(docs, bench, "doc_id", "text", n = 5)
         .select(col("id").as("doc_id"), col("n_hits"), col("first_gram"))
     }),
+    "q_minhash_est" -> ((s, d) => {
+      // signature-based Jaccard estimate over the LSH candidates — the
+      // cheap verify at lake scale (no per-pair re-tokenization; unbiased,
+      // σ = sqrt(j(1−j)/8) at 8 slots)
+      val docs = t(s, d, "documents")
+      val cands = Dedup.lshCandidates(
+        Dedup.lshBandsMd5(docs, "doc_id", "text", 8, 4, 3), maxBucket = 64)
+      Dedup.minhashEstimate(cands,
+        Dedup.minhashSigsMd5(docs, "doc_id", "text", 8, 3))
+    }),
+    "q_mix_report" -> ((s, d) => {
+      // training-mix composition audit: per (source, lang) doc/token counts
+      // and each cell's share of corpus tokens — the report a data-mixture
+      // decision reads. One scan + one tiny aggregate; the fused TextCounts
+      // walk feeds the token sum.
+      val g = t(s, d, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .localCheckpoint()
+      g.crossJoin(g.agg(sum(col("n_tokens")).as("tot")))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share"))
+    }),
+    "q_source_quality" -> ((s, d) =>
+      // per-source curation audit: mean quality (exact decimal mean of the
+      // 4-decimal scores — order-independent) + the blocklist flag a
+      // curation pass acts on
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextStats.qualityScore(col("text")).cast("decimal(12,4)")).as("qs"))
+        .select(col("source"), col("n_docs"),
+          round(col("qs").cast("double") / col("n_docs"), 4).as("mean_quality"),
+          (col("qs").cast("double") / col("n_docs") < 0.5).as("low_quality"))),
     "q_lsh_candidates" -> ((s, d) =>
       // md5 hash family (oracle-reproducible); the bucket-size guard makes
       // the UNCAPPED input tractable even on the dense synthetic vocab
@@ -726,6 +761,32 @@ object SparkEntry {
         "FROM h, unnest(generate_series(0, 15)) AS u(i) GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1"),
     "q_lsh_candidates" -> lshCandidatesSql,
+    "q_minhash_est" ->
+      (lshCtes +
+        ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM bk a JOIN ok USING (band, key) " +
+        "JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) " +
+        "SELECT c.id1, c.id2, " +
+        "round(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0, 4) AS est_jaccard " +
+        "FROM cand c JOIN sg sa ON sa.doc_id = c.id1 " +
+        "JOIN sg sb ON sb.doc_id = c.id2 AND sa.hi = sb.hi GROUP BY 1, 2"),
+    "q_mix_report" ->
+      ("WITH g AS (SELECT source, lang, count(*) AS n_docs, " +
+        "sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens FROM documents GROUP BY 1, 2) " +
+        "SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM g), 6) AS token_share FROM g"),
+    "q_source_quality" ->
+      ("WITH s AS (SELECT doc_id, source, length(text) AS n, " +
+        "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct, " +
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "q AS (SELECT source, round(" +
+        "(CASE WHEN n BETWEEN 50 AND 2000 THEN 1.0 WHEN n BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END) * 0.4 + " +
+        "least(CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) * 4.0, 1.0) * 0.4 + " +
+        "(1.0 - least(CAST(punct AS DOUBLE) / greatest(n, 1) * 10.0, 1.0)) * 0.2, 4) AS quality FROM s), " +
+        "g AS (SELECT source, count(*) AS n_docs, sum(CAST(quality AS DECIMAL(12,4))) AS qs FROM q GROUP BY 1) " +
+        "SELECT source, n_docs, round(CAST(qs AS DOUBLE) / n_docs, 4) AS mean_quality, " +
+        "(CAST(qs AS DOUBLE) / n_docs < 0.5) AS low_quality FROM g"),
     "q_tfidf_keywords" ->
       ("WITH tf AS (SELECT doc_id, u.term, count(*) AS tf FROM (" +
         "SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +

@@ -144,6 +144,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Signature-based Jaccard ESTIMATE for candidate pairs — the cheap
+    * verify at lake scale. Exact verification re-tokenizes BOTH documents
+    * per pair (O(doc length) each); the minhash estimator touches only the
+    * numHashes-slot signatures the banding pass already computed: the
+    * fraction of agreeing slots is an unbiased estimator of the true
+    * Jaccard (σ = sqrt(j(1−j)/numHashes)). Production shape: estimate
+    * first, run [[jaccardVerify]] only on pairs whose estimate clears a
+    * looser bound. `sigs` is (id, sig) from [[minhashSigsMd5]]/
+    * [[minhashSigs]]; pairs are (id1, id2). */
+  def minhashEstimate(pairs: DataFrame, sigs: DataFrame): DataFrame =
+    pairs
+      .join(sigs.select(col("id").as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sigs.select(col("id").as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(
+          aggregate(zip_with(col("sig1"), col("sig2"),
+              (a, b) => when(a === b, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") /
+            greatest(size(col("sig1")), lit(1)), 4).as("est_jaccard"))
+
   // ---- SimHash ----------------------------------------------------------------
 
   /** 32-bit SimHash over tokens: per bit, sum of ±1 votes from each token's

@@ -39,6 +39,16 @@ class DatapipeSpec extends AnyFunSuite {
     assert(verified.exists(v => v._1 == 0L && v._2 == 1L && v._3 == 1.0))
   }
 
+  test("minhash-signature Jaccard estimate: exact on identical docs, ranks near-dups") {
+    val sigs = Dedup.minhashSigsMd5(docs, "doc_id", "text", 8, 3)
+    val est = Dedup.minhashEstimate(
+        Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id1", "id2"), sigs)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est((0L, 1L)) === 1.0) // identical docs: every slot agrees
+    assert(est((0L, 2L)) >= est((0L, 3L))) // near-dup ranks above unrelated
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("simhash: near-dups at small hamming distance, unrelated far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 32).as("h"))
       .as[(Long, Long)].collect().toMap
