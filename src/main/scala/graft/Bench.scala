@@ -277,6 +277,10 @@ object Bench {
     line("Shuffle width (64) and every other conf are IDENTICAL at both")
     line("cluster sizes — width follows the data, not the core count.")
     line("")
+    line("Builder-side repetition evidence (more samples than one probe can")
+    line("hold): BASELINE.md \"Measured\" table — the full per-round scaling")
+    line("distribution with every sample published.")
+    line("")
     line(s"## Headline query wall times (s) at local[$cpus], $sfDir")
     line("")
     line("| query | sec |")
