@@ -322,6 +322,24 @@ object SparkEntry {
         TextStats.symbolWordRatio(col("text")).as("symbol_word_ratio"))),
     "q_top_bigram" -> ((s, d) =>
       TextStats.topBigramFraction(t(s, d, "documents"), "doc_id", "text")),
+    "q_dup_ngram_coverage" -> ((s, d) =>
+      // the faithful Gopher repeated-ngram filter: fraction of token
+      // positions covered by a within-doc repeated 5-gram (union of spans)
+      TextStats.dupNgramCoverage(t(s, d, "documents"), "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("dup_ngram_coverage"))),
+    "q_ivf_cell_histogram" -> ((s, d) => {
+      // the inverted-file balance audit read before choosing nProbe: vectors
+      // per cell + each cell's worst fit (min cosine to its own centroid) —
+      // deterministic seed-rule centroids so the layout is oracle-checkable
+      val embs = t(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      Similarity.assignCells(
+          embs.select(col("vec_id").as("id"), col("v")),
+          embs.filter(col("vec_id") < 16)
+            .select(col("vec_id").as("cid"), col("v").as("cv")))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_vectors"), min(col("csim")).as("worst_fit"))
+    }),
     "q_chunk_dedup" -> ((s, d) =>
       // sub-document dedup: first corpus-wide occurrence of each 8-token
       // chunk survives; per-doc scrub summary + reassembled text
@@ -1000,6 +1018,29 @@ object SparkEntry {
         "i -> toks[i] || ' ' || toks[i+1])) AS u(b) WHERE len(toks) >= 2), " +
         "c AS (SELECT doc_id, n, b, count(*) AS cnt FROM bg GROUP BY 1, 2, 3) " +
         "SELECT doc_id, round(max(cnt) * 2.0 / max(n), 4) AS top_bigram_frac FROM c GROUP BY 1"),
+    "q_dup_ngram_coverage" ->
+      ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, len(toks) AS n_toks, i.i AS i, " +
+        "array_to_string(toks[i.i:i.i+4], ' ') AS sh FROM tk " +
+        "CROSS JOIN unnest(generate_series(1, greatest(len(toks) - 4, 1))) AS i(i)), " +
+        "c AS (SELECT doc_id, sh FROM g GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "d AS (SELECT g.doc_id, g.n_toks, g.i FROM g JOIN c USING (doc_id, sh)), " +
+        "p AS (SELECT DISTINCT d.doc_id, u.p FROM d " +
+        "CROSS JOIN unnest(generate_series(d.i, least(d.i + 4, d.n_toks))) AS u(p)), " +
+        "cv AS (SELECT doc_id, count(*) AS cov FROM p GROUP BY 1) " +
+        "SELECT t.doc_id, round(coalesce(cv.cov, 0) / CAST(greatest(len(t.toks), 1) AS DOUBLE), 4) " +
+        "AS dup_ngram_coverage FROM tk t LEFT JOIN cv USING (doc_id)"),
+    "q_ivf_cell_histogram" ->
+      ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16), " +
+        "asg AS (SELECT vec_id AS id, v, cid FROM (" +
+        "SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "round(list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC, c.cid) AS rn " +
+        "FROM emb e CROSS JOIN cent c) WHERE rn = 1), " +
+        "qa AS (SELECT a.id, a.cid, round(list_dot_product(a.v, c.cv) / " +
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim " +
+        "FROM asg a JOIN cent c USING (cid)) " +
+        "SELECT cid, count(*) AS n_vectors, min(csim) AS worst_fit FROM qa GROUP BY 1"),
     "q_chunk_dedup" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
         "ch AS (SELECT doc_id, u.i AS idx, array_to_string(toks[(u.i*8+1):(u.i*8+8)], ' ') AS para " +

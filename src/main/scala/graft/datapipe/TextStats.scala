@@ -115,6 +115,45 @@ object TextStats {
       greatest(c.getField("token_count"), lit(1)).cast("double"), 4)
   }
 
+  /** Gopher's duplicate-n-gram filter, faithful UNION-OF-SPANS semantics
+    * (Rae et al. 2021 §A1.1): the fraction of TOKEN POSITIONS covered by at
+    * least one occurrence of a within-document repeated n-gram — not the
+    * count of duplicate grams (overlapping repeats must not double-count).
+    *
+    * Shape: one shingle pass with positions (codegen'd slice+concat_ws
+    * after an index explode — the shingleRows discipline), a two-phase
+    * (doc, gram) count, a semi-join back to flag duplicated occurrences,
+    * a bounded position explode (n per occurrence) with distinct, and a
+    * per-doc count. All keyed by doc id — shuffles are narrow and
+    * naturally balanced; nothing is corpus-quadratic. */
+  def dupNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5): DataFrame = {
+    val toks = tokens(col(textCol))
+    val g = docs
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("n_toks"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - (n - 1), lit(1)))).as("i"))
+      .select(col("id"), col("n_toks"), col("i"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("sh"))
+      .localCheckpoint()
+    val dupGrams = g.groupBy("id", "sh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("id", "sh")
+    val covered = g.join(dupGrams, Seq("id", "sh"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("i"), least(col("i") + (n - 1), col("n_toks"))))
+          .as("p"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("cov"))
+    docs.select(col(idCol).as("id"),
+        greatest(tokenCount(col(textCol)), lit(1)).as("nt"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"),
+        round(coalesce(col("cov"), lit(0L)).cast("double") / col("nt"), 4)
+          .as("dup_ngram_coverage"))
+  }
+
   /** Fraction of tokens covered by the single most frequent bigram
     * (2 × max bigram count / token count). Needs a per-doc frequency table,
     * so it is a DataFrame op (explode → two-phase count → max), not a scalar

@@ -39,6 +39,22 @@ class DatapipeSpec extends AnyFunSuite {
     assert(verified.exists(v => v._1 == 0L && v._2 == 1L && v._3 == 1.0))
   }
 
+  test("duplicate-ngram coverage: union of spans, overlaps not double-counted") {
+    // "a b c d e" repeats at positions 1 and 7 → covered 1–5 ∪ 7–11 = 10 of
+    // 11 token positions; the clean doc must score exactly 0
+    val d = Seq(
+      (0L, "a b c d e x a b c d e"),
+      (1L, "p q r s t u v"),
+      (2L, "w w w w w w w w")) // every 5-gram identical & overlapping → 1.0
+      .toDF("doc_id", "text")
+    val cov = TextStats.dupNgramCoverage(d, "doc_id", "text", n = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(cov(0L) === BigDecimal(10.0 / 11)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(cov(1L) === 0.0)
+    assert(cov(2L) === 1.0)
+  }
+
   test("minhash-signature Jaccard estimate: exact on identical docs, ranks near-dups") {
     val sigs = Dedup.minhashSigsMd5(docs, "doc_id", "text", 8, 3)
     val est = Dedup.minhashEstimate(
