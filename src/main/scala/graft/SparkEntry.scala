@@ -291,14 +291,20 @@ object SparkEntry {
       val jvmStart = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getStartTime
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(parent).iterator().asScala
-        .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < jvmStart)
-        .foreach { stale =>
-          try java.nio.file.Files.walk(stale).sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      val listing = java.nio.file.Files.list(parent)
+      val stale =
+        try listing.iterator().asScala
+          .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < jvmStart)
+          .toList
+        finally listing.close() // directory streams leak an fd per call otherwise
+      stale.foreach { dir =>
+        try {
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-          catch { case _: java.io.IOException => () } // lost a reap race: fine
-        }
+          finally walk.close()
+        } catch { case _: java.io.IOException => () } // lost a reap race: fine
+      }
       val wh = java.nio.file.Files.createTempDirectory(parent, "run")
       java.nio.file.Files.delete(wh) // CREATE DATABASE owns (and creates) it
       s.sql(s"CREATE DATABASE graft_bkt LOCATION '${wh.toString}'")
@@ -427,6 +433,15 @@ object SparkEntry {
           concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 8)).as("text"))
       Dedup.decontaminate(docs, bench, "doc_id", "text", n = 5)
         .select(col("id").as("doc_id"), col("n_hits"), col("first_gram"))
+    }),
+    "q_dedup_incremental" -> ((s, d) => {
+      // the daily-crawl shape: dedup a new batch (doc_id ≥ 400) against the
+      // accumulated corpus (doc_id < 400) — only unseen fingerprints
+      // survive, first within-batch occurrence wins
+      val docs = t(s, d, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") >= 400),
+        docs.filter(col("doc_id") < 400), "doc_id", "text")
     }),
     "q_minhash_est" -> ((s, d) => {
       // signature-based Jaccard estimate over the LSH candidates — the
@@ -779,6 +794,11 @@ object SparkEntry {
         "FROM h, unnest(generate_series(0, 15)) AS u(i) GROUP BY 1, 2) " +
         "SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1"),
     "q_lsh_candidates" -> lshCandidatesSql,
+    "q_dedup_incremental" ->
+      ("WITH fp AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents), " +
+        "k AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 400), " +
+        "b AS (SELECT fp, min(doc_id) AS id FROM fp WHERE doc_id >= 400 GROUP BY 1) " +
+        "SELECT b.id, b.fp FROM b WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.fp = b.fp)"),
     "q_minhash_est" ->
       (lshCtes +
         ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +

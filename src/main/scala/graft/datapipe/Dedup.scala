@@ -144,6 +144,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental exact dedup — the daily-crawl production shape: from a new
+    * `batch`, keep only the first within-batch occurrence (min id) of each
+    * normalized fingerprint that does NOT already appear in the accumulated
+    * `kept` corpus. Both sides reduce to distinct fingerprints before the
+    * anti-join, so the join is a narrow hash-keyed exchange of md5 values —
+    * never of document text — and composes with the snapshot layer exactly
+    * like Jdbc.ingestIncremental (dedup each delta against the committed
+    * state, then snapshot-append the survivors). */
+  def incrementalDedup(batch: DataFrame, kept: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val keptFp = kept
+      .select(TextStats.fingerprint(col(textCol)).as("fp")).distinct()
+    batch
+      .select(col(idCol).as("id"), TextStats.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(col("id")).as("id"))
+      .join(keptFp, Seq("fp"), "left_anti")
+      .select("id", "fp")
+  }
+
   /** Signature-based Jaccard ESTIMATE for candidate pairs — the cheap
     * verify at lake scale. Exact verification re-tokenizes BOTH documents
     * per pair (O(doc length) each); the minhash estimator touches only the
