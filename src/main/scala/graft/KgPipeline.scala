@@ -84,7 +84,13 @@ object KgPipeline {
     // latency that lands 1:1 on the small-cluster pipeline wall — and
     // overlaps the avpair collect with the corpus-wide mention scan.
     // Falls back to the staged dataflow when a dim exceeds its bound;
-    // KgParitySpec pins fused ≡ dataflow on the triple set.
+    // KgParitySpec pins fused ≡ dataflow on the triple set. The probe's
+    // ment2ent collect and corpus-wide mention scan are EXPENSIVE — when
+    // the probe bails (avpair over bound, or canonicalMapLocal declining
+    // the quadratic loop) they are handed to the staged path below instead
+    // of being recomputed, so the fallback never pays the dim phase twice.
+    var probedM2e: Array[(String, Seq[String])] = null
+    var probedSeeds: Array[String] = null
     val fusedDims: Option[(DataFrame, DataFrame)] =
       if (dimThreshold > 0 && io.isEmpty) {
         import spark.implicits._
@@ -100,9 +106,11 @@ object KgPipeline {
         }
         val m2eRows = ment2ent.select(col("mention"), col("entities"))
           .as[(String, Seq[String])].collect()
+        probedM2e = m2eRows
         val dict = m2eRows.iterator.map(_._1).toSeq.distinct
         val seeds = Mentions.detect(spark, textSpans(docs), dict)
           .select(col("mention")).distinct().as[String].collect()
+        probedSeeds = seeds
         val avRows = Await.result(avF, Duration.Inf)
         if (avRows.length > dimThreshold) None
         else {
@@ -131,12 +139,18 @@ object KgPipeline {
       // ONE collect of the bounded ment2ent dimension feeds both the trie
       // dictionary and (via m2eCollected) the fast-path closure — the dim
       // phase is serial driver latency on the critical path, so every
-      // spared job shows up directly in the small-cluster wall
-      val m2eRows = ment2ent.select(col("mention"), col("entities"))
-        .as[(String, Seq[String])].collect()
+      // spared job shows up directly in the small-cluster wall. When the
+      // fused probe above already collected the dim and scanned mentions,
+      // reuse both instead of recomputing (the probe-bail path).
+      val m2eRows =
+        if (probedM2e != null) probedM2e
+        else ment2ent.select(col("mention"), col("entities"))
+          .as[(String, Seq[String])].collect()
       val dict = m2eRows.iterator.map(_._1).toSeq.distinct
-      val mentions = Mentions.detect(spark, textSpans(docs), dict)
-        .select(col("mention")).distinct()
+      val mentions =
+        if (probedSeeds != null) probedSeeds.toSeq.toDF("mention")
+        else Mentions.detect(spark, textSpans(docs), dict)
+          .select(col("mention")).distinct()
       KbExpand.expand(spark, mentions, ment2ent, avpair, Rules.recursivePreds,
         driverThreshold = dimThreshold,
         m2eCollected = if (dimThreshold > 0) Some(m2eRows.toMap) else None)

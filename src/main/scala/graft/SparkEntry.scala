@@ -283,18 +283,22 @@ object SparkEntry {
       // query its round-2 correctness row (LOCATION_ALREADY_EXISTS on rerun)
       s.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
       // fixed parent so stale run dirs don't accumulate in /tmp, but ONLY
-      // subdirs older than this JVM are reaped — a concurrent process (Verify
-      // vs a test JVM, two bench runs) keeps its live warehouse; wiping the
-      // whole parent raced and produced spurious table-missing failures
+      // subdirs older than BOTH this JVM's start AND a 1h age horizon are
+      // reaped — a concurrent process (Verify vs a test JVM, two bench runs)
+      // keeps its live warehouse even when it started BEFORE this JVM (a
+      // mid-query earlier-started process has a dir older than jvmStart;
+      // reaping on jvmStart alone raced exactly that way), and anything a
+      // full hour old is an abandoned run, not a live query
       val parent = java.nio.file.Paths.get("/tmp/graft-bkt-wh-runs")
       java.nio.file.Files.createDirectories(parent)
       val jvmStart = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getStartTime
+      val horizon = math.min(jvmStart, System.currentTimeMillis() - 3600L * 1000)
       import scala.jdk.CollectionConverters._
       val listing = java.nio.file.Files.list(parent)
       val stale =
         try listing.iterator().asScala
-          .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < jvmStart)
+          .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < horizon)
           .toList
         finally listing.close() // directory streams leak an fd per call otherwise
       stale.foreach { dir =>
@@ -424,14 +428,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("keep_id"))
     }),
     "q_decontaminate" -> ((s, d) => {
-      // benchmark decontamination: flag corpus docs sharing any word n-gram
-      // with an eval set. The "benchmark" here is 8-token snippets lifted
-      // from every 50th doc — planted contamination the scrub must find.
+      // benchmark decontamination at the PRODUCTION n = 13: flag corpus
+      // docs sharing any 13-token word n-gram with an eval set. The
+      // "benchmark" is 13-token snippets lifted from every 50th doc —
+      // planted contamination the scrub must find. (The corpus-wide pass
+      // is hash-only; gram strings travel only for the contaminated set.)
       val docs = t(s, d, "documents")
       val bench = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id"),
-          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 8)).as("text"))
-      Dedup.decontaminate(docs, bench, "doc_id", "text", n = 5)
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 13)).as("text"))
+      Dedup.decontaminate(docs, bench, "doc_id", "text", n = 13)
         .select(col("id").as("doc_id"), col("n_hits"), col("first_gram"))
     }),
     "q_dedup_incremental" -> ((s, d) => {
@@ -518,9 +524,12 @@ object SparkEntry {
       // the row is a SELF-GATE cross-checked on everything an external
       // engine CAN reproduce: the oracle independently recomputes the
       // seed-rule recall@10 and the seed-rule QUANTIZATION ERROR, and pins
-      // trained_qe_le_seed = TRUE — guaranteed by Lloyd's monotone descent
-      // from exactly this seed init, so the hash goes red if training ever
-      // regresses the objective. (Recall itself is NOT a monotone gate: on
+      // trained_qe_le_seed = TRUE — guaranteed BY CONSTRUCTION: trainCentroids
+      // runs spherical k-means (normalized-mean update — the one monotone for
+      // the cosine objective) AND returns the best-QE iterate including the
+      // seed layout itself, compared with exact decimal sums; the hash goes
+      // red if training ever regresses the objective. (Recall itself is NOT
+      // a monotone gate: on
       // near-orthogonal synthetic vectors the seed rule's unbalanced cells
       // cover more corpus per probe, trading compute for recall — measured.)
       // The trained ivfTopK path still runs end-to-end: n_trained_rows pins
@@ -876,14 +885,14 @@ object SparkEntry {
         "SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY 1"),
     "q_decontaminate" ->
       ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
-        "bt AS (SELECT array_to_string(toks[1:8], ' ') AS btext FROM tk WHERE doc_id % 50 = 0), " +
+        "bt AS (SELECT array_to_string(toks[1:13], ' ') AS btext FROM tk WHERE doc_id % 50 = 0), " +
         "btk AS (SELECT string_split_regex(trim(btext), '\\s+') AS toks FROM bt), " +
-        "bg AS (SELECT CASE WHEN len(toks) >= 5 " +
-        "THEN list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' ')) " +
+        "bg AS (SELECT CASE WHEN len(toks) >= 13 " +
+        "THEN list_transform(generate_series(1, len(toks) - 12), i -> array_to_string(toks[i:i+12], ' ')) " +
         "ELSE [array_to_string(toks, ' ')] END AS gs FROM btk), " +
         "bh AS (SELECT DISTINCT md5(u.g) AS gh FROM bg CROSS JOIN unnest(gs) AS u(g)), " +
-        "cg AS (SELECT doc_id, CASE WHEN len(toks) >= 5 " +
-        "THEN list_transform(generate_series(1, len(toks) - 4), i -> array_to_string(toks[i:i+4], ' ')) " +
+        "cg AS (SELECT doc_id, CASE WHEN len(toks) >= 13 " +
+        "THEN list_transform(generate_series(1, len(toks) - 12), i -> array_to_string(toks[i:i+12], ' ')) " +
         "ELSE [array_to_string(toks, ' ')] END AS gs FROM tk), " +
         "ce AS (SELECT doc_id, u.g, md5(u.g) AS gh FROM cg CROSS JOIN unnest(gs) AS u(g)) " +
         "SELECT ce.doc_id, count(DISTINCT ce.gh) AS n_hits, min(ce.g) AS first_gram " +

@@ -72,9 +72,16 @@ object Verify {
       System.err.println(s"[verify] oracle-input materialize failed: ${e.getMessage}")
       errs += ("_oracle_inputs" -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
-    errs ++= runQueries(spark, sfDir, outDir, SparkEntry.queries)
+    // SPARK_GRAFT_ONLY=q_a,q_b — builder-side iteration filter; the driver
+    // never sets it, so the gate always runs the full map
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.view.filterKeys(f).toMap)
+    errs ++= runQueries(spark, sfDir, outDir, queries)
     writeErrors(outDir, errs)
-    val json = SparkEntry.oracleSql
+    val json = only.fold(SparkEntry.oracleSql)(f =>
+        SparkEntry.oracleSql.view.filterKeys(f).toMap)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

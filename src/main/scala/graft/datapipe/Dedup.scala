@@ -252,31 +252,50 @@ object Dedup {
     * doc: total chunks, surviving chunks, and the reassembled kept text —
     * the shape a pre-training scrub pass emits.
     *
-    * Scale: one shuffle, partitioned by chunk hash (row_number per hash);
-    * a hash key's group is exactly the set of copies of one chunk, so the
-    * partition size is bounded by the corpus duplication factor — a
-    * boilerplate chunk repeated millions of times is the skew case, and
-    * AQE's skew handling (or capping copies per hash upstream) covers it.
-    * The reassembly groupBy is keyed by doc id — naturally balanced. */
+    * Scale: first-occurrence selection is a TWO-PHASE `min(struct(doc,
+    * idx, para))` aggregate on the chunk hash — NOT a window. A window
+    * (`partitionBy(md5(para)).orderBy(doc, idx)`) puts ALL copies of one
+    * chunk into a single sort group on one reducer, and AQE's skew
+    * handling applies to joins, not window exchanges — a license-header
+    * chunk repeated 10^8 times across a 100 TB corpus would be one
+    * straggler task. The two-phase aggregate's map-side partial absorbs
+    * the hot hash (each partition contributes ONE candidate row per hash),
+    * and carrying `para` inside the min-struct means the kept chunks come
+    * straight out of the aggregate — no join back on the skewed hash key
+    * at all. `(doc, idx)` is unique per chunk row, so the struct min is
+    * exactly the old window's rn = 1 row and `para` never influences the
+    * ordering. The reassembly groupBy and the per-doc chunk count are
+    * keyed by doc id — naturally balanced. */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int = 8): DataFrame = {
     val toks = TextStats.tokens(col(textCol))
     val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    val idxSeq = sequence(lit(0), nChunks - 1)
     val chunks = docs.select(col(idCol),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
+        posexplode(transform(idxSeq,
           i => concat_ws(" ",
             slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("para"))).orderBy(col(idCol), col("idx"))
-    chunks.withColumn("rn", row_number().over(w))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") === 1, 1).otherwise(0)).as("n_kept"),
+    // n_chunks computed narrow from the doc row itself (= the exploded row
+    // count by construction) — the doc-keyed side never re-explodes
+    val perDoc = docs.select(col(idCol),
+      size(idxSeq).cast("long").as("n_chunks"))
+    val firstOcc = chunks
+      .groupBy(md5(col("para")).as("h"))
+      .agg(min(struct(col(idCol), col("idx"), col("para"))).as("f"))
+      .select(col(s"f.$idCol").as(idCol), col("f.idx").as("idx"),
+        col("f.para").as("para"))
+    val keptPerDoc = firstOcc.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
-          array_sort(collect_list(when(col("rn") === 1,
-            struct(col("idx"), col("para"))))),
+          array_sort(collect_list(struct(col("idx"), col("para")))),
           s => s.getField("para")), " ").as("kept_text"))
+    // left join: a doc whose every chunk first-occurred elsewhere keeps
+    // n_kept = 0 / kept_text = "" (the old collect_list-ignores-null rows)
+    perDoc.join(keptPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
   // ---- transitive dedup clusters -------------------------------------------
@@ -320,18 +339,48 @@ object Dedup {
     * Scale shape: both sides explode to md5 n-gram keys; the benchmark side
     * is the SMALL side (an eval suite is a few thousand docs even when the
     * corpus is 10^12) and is distinct-reduced before the join, so Catalyst
-    * broadcasts it and the corpus side streams through map-side — one scan,
-    * no corpus shuffle except the final per-doc count aggregate. */
-  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, n: Int = 13): DataFrame = {
-    def grams(df: DataFrame) = shingleRows(df, idCol, textCol, n)
-      .select(col("id"), col("sh").as("g"), md5(col("sh")).as("gh"))
-    val bench = broadcast(
-      grams(benchmark).select("gh").distinct())
-    grams(docs)
+    * broadcasts it and the corpus side streams through map-side. The
+    * corpus-wide pass is HASH-ONLY: at the production n = 13 the gram
+    * STRING (~13 tokens) dwarfs its 32-hex md5, so the per-doc hit
+    * aggregate exchanges (id, gh) rows only — never gram text. The
+    * `first_gram` audit string is recovered by a second gram pass
+    * restricted (semi-join on id) to the CONTAMINATED docs — a set
+    * bounded by the leak rate, orders of magnitude below the corpus. */
+  /** Pass 1 of [[decontaminate]] — the corpus-wide hit count, exposed
+    * pre-materialization so PlanSpec can pin its exchange width. */
+  private[graft] def decontaminateHits(docs: DataFrame, bench: DataFrame,
+                                       idCol: String, textCol: String,
+                                       n: Int): DataFrame =
+    shingleRows(docs, idCol, textCol, n)
+      .select(col("id"), md5(col("sh")).as("gh"))
       .join(bench, Seq("gh"), "left_semi")
       .groupBy("id")
-      .agg(count_distinct(col("gh")).as("n_hits"), min(col("g")).as("first_gram"))
+      .agg(count_distinct(col("gh")).as("n_hits"))
+
+  private[graft] def benchGramHashes(benchmark: DataFrame, idCol: String,
+                                     textCol: String, n: Int): DataFrame =
+    broadcast(shingleRows(benchmark, idCol, textCol, n)
+      .select(md5(col("sh")).as("gh")).distinct())
+
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 13): DataFrame = {
+    val bench = benchGramHashes(benchmark, idCol, textCol, n)
+    // pass 1 — corpus-wide, hash-width exchange only (materialized once:
+    // the stand-in for the staging table a production scrub would commit)
+    val hits = decontaminateHits(docs, bench, idCol, textCol, n)
+      .localCheckpoint()
+    // pass 2 — re-shingle ONLY the contaminated docs to recover the
+    // lexicographically-first overlapping gram (AQE broadcasts the hit-id
+    // side while it fits; a skewed-leak corpus degrades to a balanced
+    // doc-keyed shuffle, never a corpus-wide text exchange)
+    val contaminated = docs.join(
+      hits.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val firstGram = shingleRows(contaminated, idCol, textCol, n)
+      .select(col("id"), col("sh").as("g"), md5(col("sh")).as("gh"))
+      .join(bench, Seq("gh"), "left_semi")
+      .groupBy("id").agg(min(col("g")).as("first_gram"))
+    hits.join(firstGram, Seq("id"))
+      .select("id", "n_hits", "first_gram")
   }
 
   // ---- embedding cosine ----------------------------------------------------------

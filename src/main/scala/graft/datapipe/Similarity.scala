@@ -149,7 +149,7 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Bounded Lloyd's k-means over the embedding corpus — the centroid
+  /** Bounded SPHERICAL k-means over the embedding corpus — the centroid
     * TRAINING pass that slots into [[ivfTopK]]'s `centroids` seam. Same
     * kernel discipline as Canon.connectedComponents: broadcast the (small)
     * centroid dim each iteration, assign with the two-phase argmax, refit
@@ -157,7 +157,18 @@ object Similarity {
     * map-side combined, one narrow shuffle on (cid, pos)), and truncate
     * lineage per iteration with localCheckpoint. Deterministic seeding (the
     * k smallest ids); a cell that loses all members keeps its previous
-    * centroid. Returns (cid, cv). */
+    * centroid. Returns (cid, cv).
+    *
+    * Two guarantees back the `trained_qe ≤ seed_qe` gate row:
+    *  1. members are NORMALIZED before the mean update (spherical
+    *     k-means) — cos(v, c) = cos(v/|v|, c), so the assignment is
+    *     unchanged, and the mean-of-unit-vectors update is the one that
+    *     provably descends the cosine quantization objective (a plain
+    *     per-dimension mean over raw vectors is NOT monotone for cosine);
+    *  2. the BEST-QE iterate (including the seed layout itself) is
+    *     returned, with QE compared by an exact decimal sum of the rounded
+    *     csim values — so `QE(returned) ≤ QE(seed)` holds by construction
+    *     even against round-to-6 wobble, not merely by descent argument. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 5): DataFrame = {
     val data = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -166,9 +177,21 @@ object Similarity {
       .select((row_number().over(Window.orderBy("id")) - 1).cast("long").as("cid"),
         col("v").as("cv"))
       .localCheckpoint()
+    // exact, order-independent QE: csim is already rounded to 6 decimals in
+    // assignCells, so the decimal(28,6) sum is lossless and deterministic
+    def qeOf(cells: DataFrame): java.math.BigDecimal =
+      cells.agg(sum((lit(1.0) - col("csim")).cast("decimal(28,6)")))
+        .collect()(0).getDecimal(0)
+    var best = cent
+    var bestQe: java.math.BigDecimal = null
     (0 until iters).foreach { _ =>
-      val means = assignCells(data, cent)
-        .select(col("cid"), posexplode(col("v")))
+      val cells = assignCells(data, cent).localCheckpoint()
+      val qe = qeOf(cells) // QE of the CURRENT layout, off the same assignment
+      if (bestQe == null || qe.compareTo(bestQe) < 0) { bestQe = qe; best = cent }
+      val nrm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+      val means = cells
+        .select(col("cid"),
+          posexplode(transform(col("v"), x => x / greatest(nrm, lit(1e-12)))))
         .groupBy("cid", "pos").agg(avg("col").as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -177,7 +200,9 @@ object Similarity {
         .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
         .localCheckpoint()
     }
-    cent
+    val lastQe = qeOf(assignCells(data, cent))
+    if (bestQe == null || lastQe.compareTo(bestQe) < 0) best = cent
+    best
   }
 
   /** Mean quantization error of a centroid layout: avg(1 − cos(v, nearest

@@ -237,6 +237,7 @@ object Canon {
     var e = e0.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct().localCheckpoint()
+    var prev = e
     var prevSig = sig(e)
     var rounds = 0
     var converged = false
@@ -263,7 +264,17 @@ object Canon {
       e = ss.localCheckpoint()
       val s = sig(e)
       rounds += 1
-      if (s == prevSig) converged = true else prevSig = s
+      if (s == prevSig) {
+        // the signature is a (count, xor-hash) fingerprint — a collision
+        // (or an xor-cancelling edge swap at equal count) would otherwise
+        // terminate early and SILENTLY emit a non-star, wrong component
+        // map. Confirm the one candidate round with a real set equality:
+        // counts already match (part of the signature), so one-directional
+        // except-emptiness proves the sets equal. Runs at most once per
+        // true convergence plus once per (astronomically rare) collision.
+        if (e.except(prev).isEmpty) converged = true
+      } else prevSig = s
+      prev = e
     }
     if (!converged)
       throw new IllegalStateException(

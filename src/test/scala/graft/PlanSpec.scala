@@ -88,8 +88,34 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(SparkEntry.queries("q_decontaminate")(spark, sf))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"benchmark side not a broadcast semi-join:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"corpus side shuffled for the benchmark join:\n$p")
+  }
+
+  test("decontamination pass 1 exchanges are hash-width — gram text never shuffles corpus-wide") {
+    // at production n = 13 the gram string dwarfs its md5; the corpus-wide
+    // hit count must exchange (id, gh[-derived]) rows only. The raw gram
+    // column ('sh'/'g') lives exclusively in pass 2, which is restricted to
+    // the contaminated doc set.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = Dedup.benchGramHashes(
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 13)
+    val hits = Dedup.decontaminateHits(docs, bench, "doc_id", "text", 13)
+    hits.collect() // materialize the AQE final plan
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case e: ShuffleExchangeLike => e +: p.children.flatMap(exchanges)
+      case _ => p.children.flatMap(exchanges)
+    }
+    val ex = exchanges(hits.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected at least the per-doc hit-count exchange")
+    ex.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.exists(n => n == "sh" || n == "g"),
+        s"gram text reached a corpus-wide shuffle exchange: ${names.mkString(",")}")
+    }
   }
 
   test("top-bigram fraction aggregates partially before the shuffle") {
@@ -103,12 +129,22 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregate below the shuffle:\n$p")
   }
 
-  test("chunk dedup is window + two keyed shuffles — no product, no global sort") {
+  test("chunk dedup: two-phase aggregate on the chunk hash — no window, no product") {
     val p = plan(SparkEntry.queries("q_chunk_dedup")(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"chunk dedup degenerated to a product join:\n$p")
-    // the Window must partition by the chunk hash (Exchange hashpartitioning),
-    // never a single-partition global window
+    // first-occurrence must be the skew-safe min(struct) hash aggregate: a
+    // window on the chunk-hash key puts every copy of a hot boilerplate
+    // chunk into ONE sort group on one reducer (AQE skew handling covers
+    // joins, not window exchanges)
+    assert(!p.contains("Window"),
+      s"chunk first-occurrence regressed to a window on the hash key:\n$p")
+    // min(struct) buffers a non-primitive → partial/final SortAggregate
+    // pairs are acceptable; what matters is it aggregates (map-side
+    // combined), not window-sorts, on the hash key
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"),
+      s"no aggregate first-occurrence selection in the plan:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"chunk dedup collapsed to a single partition:\n$p")
   }
