@@ -417,16 +417,13 @@ object SparkEntry {
           TextStats.dupTokenFraction(col("text")).as("dup_frac"))
         .withColumn("keep",
           col("quality") >= 0.5 && col("lang") === "en" && col("dup_frac") <= 0.4)),
-    "q_dedup_clusters" -> ((s, d) => {
+    "q_dedup_clusters" -> ((s, d) =>
       // the COMPLETE fuzzy-dedup scrub: LSH blocking → exact Jaccard verify
-      // → transitive closure → (doc, keeper) map
-      val docs = t(s, d, "documents")
-      val cands = Dedup.lshCandidates(
-        Dedup.lshBandsMd5(docs, "doc_id", "text", 8, 4, 3), maxBucket = 64)
-      val verified = Dedup.jaccardVerify(cands, docs, "doc_id", "text", 0.7)
-      Dedup.dedupClusters(verified.select("id1", "id2"))
-        .select(col("id").as("doc_id"), col("keep_id"))
-    }),
+      // → transitive closure → (doc, keeper) map. Runs through the
+      // production composition (ScrubPipeline; io=None → lazy one-job
+      // dataflow; with a TableIO it snapshot-commits and resumes per stage)
+      graft.datapipe.ScrubPipeline.run(s, t(s, d, "documents"), "doc_id", "text")
+        .keepMap.select(col("id").as("doc_id"), col("keep_id"))),
     "q_decontaminate" -> ((s, d) => {
       // benchmark decontamination at the PRODUCTION n = 13: flag corpus
       // docs sharing any 13-token word n-gram with an eval set. The
