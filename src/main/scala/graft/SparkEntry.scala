@@ -588,19 +588,22 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("mime"),
           octet_length(col("payload")).as("n_bytes"))),
     "q_media_features" -> ((s, d) =>
-      // image rows: REAL PNG payloads decoded through JDK ImageIO — the
-      // deterministic pixel function is closed-form, so the oracle verifies
-      // the decoded dims/means analytically, no codec needed. audio/video:
-      // stride-sum stub features the oracle recomputes from hex(payload).
-      // (image n_bytes/f0 are NULL — PNG encoding size is codec-internal,
-      // not an engine-portable content invariant.)
+      // image rows: REAL PNG payloads decoded through JDK ImageIO; audio
+      // rows: REAL PCM-WAV payloads decoded through JDK AudioSystem. Both
+      // synthesis functions are closed-form, so the oracle verifies the
+      // decoded dims/means and sample-rate/frames/RMS analytically — no
+      // codec needed on its side. video: stride-sum stub features the
+      // oracle recomputes from hex(payload). (image/audio n_bytes and f0
+      // are NULL — container encoding size is codec-internal, not an
+      // engine-portable content invariant.)
       Multimodal.extractFeatures(s,
-          Multimodal.mediaWithRealImages(s, t(s, d, "documents")))
+          Multimodal.mediaWithRealMedia(s, t(s, d, "documents")))
         .toDF().select(col("doc_id"), col("kind"),
-          when(col("kind") =!= "image", col("n_bytes")).as("n_bytes"),
-          when(col("kind") =!= "image", col("feature")(0).cast("long")).as("f0"),
+          when(col("kind") === "video", col("n_bytes")).as("n_bytes"),
+          when(col("kind") === "video", col("feature")(0).cast("long")).as("f0"),
           col("img_w"), col("img_h"),
-          col("mean_r"), col("mean_g"), col("mean_b"))),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          col("audio_sr"), col("audio_frames"), col("audio_rms"))),
     "q_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.mediaFromDocs(t(s, d, "documents")))),
 
@@ -921,15 +924,17 @@ object SparkEntry {
       ("SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS offset_ms FROM documents, " +
         "unnest(generate_series(0, least(octet_length(encode(text)) // 100, 30))) AS u(i) " +
         "WHERE doc_id % 3 = 2"),
-    // audio/video: stride-sum stub recomputed from hex(payload); image: the
-    // REAL ImageIO-decoded dims/means verified ANALYTICALLY from the
-    // closed-form pixel function (no codec in DuckDB — that's the point:
-    // an independent derivation of what a correct decode must produce)
+    // video: stride-sum stub recomputed from hex(payload); image: the REAL
+    // ImageIO-decoded dims/means verified ANALYTICALLY from the closed-form
+    // pixel function; audio: the REAL AudioSystem-decoded sample-rate/
+    // frames/RMS verified ANALYTICALLY from the closed-form PCM sample
+    // function (no codec in DuckDB — that's the point: an independent
+    // derivation of what a correct decode must produce)
     "q_media_features" ->
       ("WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
         "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
         "encode(text) AS payload FROM documents), " +
-        "av AS (SELECT doc_id, kind, octet_length(payload) AS n_bytes, hex(payload) AS h FROM m WHERE kind <> 'image'), " +
+        "av AS (SELECT doc_id, kind, octet_length(payload) AS n_bytes, hex(payload) AS h FROM m WHERE kind = 'video'), " +
         "avf AS (SELECT doc_id, kind, n_bytes, " +
         "coalesce(sum(CASE WHEN u.i <= n_bytes AND (u.i - 1) % 8 = 0 " +
         "THEN ('0x' || substr(h, (u.i - 1) * 2 + 1, 2))::INT ELSE 0 END), 0) AS f0 " +
@@ -943,12 +948,22 @@ object SparkEntry {
         "imf AS (SELECT doc_id, min(w) AS img_w, min(h) AS img_h, " +
         "round(CAST(sum(r) AS DOUBLE) / (min(w) * min(h)), 6) AS mean_r, " +
         "round(CAST(sum(g) AS DOUBLE) / (min(w) * min(h)), 6) AS mean_g, " +
-        "round(CAST(sum(b) AS DOUBLE) / (min(w) * min(h)), 6) AS mean_b FROM px GROUP BY 1) " +
+        "round(CAST(sum(b) AS DOUBLE) / (min(w) * min(h)), 6) AS mean_b FROM px GROUP BY 1), " +
+        "au AS (SELECT doc_id, 80 + doc_id % 41 AS n FROM m WHERE kind = 'audio'), " +
+        "auf AS (SELECT doc_id, CAST(8000 AS INT) AS audio_sr, CAST(n AS BIGINT) AS audio_frames, " +
+        "round(sqrt(sum(pow((doc_id * 31 + u.i * 7) % 256 - 128, 2)) / (80 + doc_id % 41)), 6) AS audio_rms " +
+        "FROM au CROSS JOIN unnest(generate_series(0, n - 1)) AS u(i) GROUP BY 1, 2, 3) " +
         "SELECT doc_id, kind, n_bytes, CAST(f0 AS BIGINT) AS f0, " +
         "NULL::INT AS img_w, NULL::INT AS img_h, " +
-        "NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b FROM avf " +
+        "NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b, " +
+        "NULL::INT AS audio_sr, NULL::BIGINT AS audio_frames, NULL::DOUBLE AS audio_rms FROM avf " +
         "UNION ALL SELECT doc_id, 'image' AS kind, NULL::INT AS n_bytes, NULL::BIGINT AS f0, " +
-        "img_w, img_h, mean_r, mean_g, mean_b FROM imf"),
+        "img_w, img_h, mean_r, mean_g, mean_b, " +
+        "NULL::INT AS audio_sr, NULL::BIGINT AS audio_frames, NULL::DOUBLE AS audio_rms FROM imf " +
+        "UNION ALL SELECT doc_id, 'audio' AS kind, NULL::INT AS n_bytes, NULL::BIGINT AS f0, " +
+        "NULL::INT AS img_w, NULL::INT AS img_h, " +
+        "NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g, NULL::DOUBLE AS mean_b, " +
+        "audio_sr, audio_frames, audio_rms FROM auf"),
     "q_embed_neardup" ->
       ("WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500), " +
         embedBucketCtes(4) +

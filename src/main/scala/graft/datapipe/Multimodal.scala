@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * mapPartitions (the Scala analog of mapInPandas batch UDFs), batch shape,
   * explode of sampled frames — is real and tested. The IMAGE leg decodes
   * for real: payloads are PNG bytes and [[extractFeatures]] runs them
-  * through `javax.imageio.ImageIO` (ships with the JDK — no new
-  * dependency), emitting decoded dimensions + per-channel means. Audio and
-  * video remain STUBBED (`decodeStub` — genuinely no codecs in this
-  * container): deterministic pseudo-features from the payload bytes,
-  * clearly marked, with the exact signature a real decoder would slot into.
+  * through `javax.imageio.ImageIO`; the AUDIO leg decodes for real too:
+  * payloads are PCM WAV bytes decoded through `javax.sound.sampled
+  * .AudioSystem` (both ship with the JDK — no new dependency), emitting
+  * sample rate, frame count and channel RMS. Only VIDEO remains STUBBED
+  * (`decodeStub` — genuinely no video codecs in this container):
+  * deterministic pseudo-features from the payload bytes, clearly marked,
+  * with the exact signature a real decoder would slot into. An audio
+  * payload that is NOT decodable WAV also falls back to the stub leg —
+  * the malformed-media dead-letter path, never an executor crash.
   */
 object Multimodal {
 
@@ -24,7 +28,9 @@ object Multimodal {
                            feature: Array[Float],
                            img_w: Option[Int], img_h: Option[Int],
                            mean_r: Option[Double], mean_g: Option[Double],
-                           mean_b: Option[Double])
+                           mean_b: Option[Double],
+                           audio_sr: Option[Int], audio_frames: Option[Long],
+                           audio_rms: Option[Double])
   case class Frame(doc_id: Long, frame_idx: Int, offset_ms: Int)
 
   /** Synthesize a media table from a docs table (payload = utf8 bytes of the
@@ -41,8 +47,9 @@ object Multimodal {
       (pmod(xxhash64(col(idCol)), lit(1920)) + 1).cast("int").as("width"),
       (pmod(xxhash64(col(idCol) + 1), lit(1080)) + 1).cast("int").as("height"))
 
-  /** === STUB (audio/video only) ===  Real implementation would decode the
-    * payload with an audio/video codec and run a feature extractor.
+  /** === STUB (video only; audio falls back here ONLY for undecodable
+    * payloads) ===  Real implementation would decode the
+    * payload with a video codec and run a feature extractor.
     * Deterministic fake: 8 floats derived from byte sums over 8 strides —
     * the sums are exact integers (< 2^24, exactly representable in Float),
     * so any external engine can reproduce them bit-for-bit (the DuckDB
@@ -117,6 +124,65 @@ object Multimodal {
     Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
+  // ---- real audio leg (JDK javax.sound.sampled — no external dependency) ---
+
+  /** Deterministic closed-form 8-bit unsigned PCM sample function for
+    * synthetic audio payloads — like [[pixel]], an external engine can
+    * verify the REAL decode output analytically (the DuckDB oracle
+    * recomputes the RMS over the same sample sequence without any codec). */
+  private[graft] def audioSample(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 7) % 256).toInt
+
+  private[graft] def audioFrames(id: Long): Int = 80 + (id % 41).toInt
+
+  private val wavFormat = new javax.sound.sampled.AudioFormat(
+    javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+    8000f, 8, 1, 1, 8000f, false)
+
+  /** Render the deterministic test clip for `id` as REAL WAV bytes
+    * (8 kHz, 8-bit unsigned PCM, mono). */
+  def renderWav(id: Long): Array[Byte] = {
+    val n = audioFrames(id)
+    val data = Array.tabulate[Byte](n)(i => audioSample(id, i).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), wavFormat, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: WAV payload → (sample rate, n_frames, RMS of the
+    * centered 8-bit samples). Returns None for undecodable payloads or
+    * formats beyond 8-bit mono PCM (the malformed-media dead-letter path —
+    * never an executor crash). */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Long, Double)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 8 || fmt.getChannels != 1) return None
+      val data = ais.readAllBytes()
+      if (data.isEmpty) return None
+      var ss = 0L
+      var i = 0
+      while (i < data.length) {
+        val s = (data(i) & 0xff) - 128
+        ss += s.toLong * s
+        i += 1
+      }
+      Some((fmt.getSampleRate.toInt, data.length.toLong,
+        math.sqrt(ss.toDouble / data.length)))
+    } finally ais.close()
+  }
+
   /** Media table whose IMAGE rows carry real PNG payloads (rendered
     * per partition — generation scales with the cluster); audio/video rows
     * keep the opaque byte stand-ins from [[mediaFromDocs]]. */
@@ -133,9 +199,28 @@ object Multimodal {
     img.toDF().unionByName(base.filter(col("kind") =!= "image"))
   }
 
+  /** Media table with real payloads for BOTH decodable modalities: PNG
+    * images and PCM-WAV audio, rendered per partition; video rows keep the
+    * opaque stand-ins (no video codec in the JDK). */
+  def mediaWithRealMedia(spark: SparkSession, docs: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val base = mediaWithRealImages(spark, docs, idCol, textCol)
+    val audio = base.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions(_.map { m =>
+        MediaRow(m.doc_id, "audio", renderWav(m.doc_id), "audio/wav",
+          m.width, m.height)
+      })
+    audio.toDF().unionByName(base.filter(col("kind") =!= "audio"))
+  }
+
   /** Feature extraction as a typed per-partition batch op: REAL ImageIO
-    * decode for image rows (dims + channel means, rounded 6 so the values
-    * are engine-portable), stride-sum stub features for audio/video. */
+    * decode for image rows (dims + channel means), REAL AudioSystem decode
+    * for audio rows (sample rate, frame count, channel RMS) — doubles
+    * rounded to 6 so the values are engine-portable — and stride-sum stub
+    * features for video rows (plus any undecodable audio payload, the
+    * dead-letter fallback). */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     def r6(d: Double): Double = BigDecimal(d)
@@ -143,15 +228,26 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
         val payload = if (m.payload == null) Array.emptyByteArray else m.payload
-        if (m.kind == "image") {
-          val d = decodeImage(payload)
-          MediaFeatures(m.doc_id, m.kind, payload.length,
-            Array.emptyFloatArray,
-            d.map(_._1), d.map(_._2),
-            d.map(x => r6(x._3)), d.map(x => r6(x._4)), d.map(x => r6(x._5)))
-        } else
-          MediaFeatures(m.doc_id, m.kind, payload.length, decodeStub(payload),
-            None, None, None, None, None)
+        def stub = MediaFeatures(m.doc_id, m.kind, payload.length,
+          decodeStub(payload), None, None, None, None, None, None, None, None)
+        m.kind match {
+          case "image" =>
+            val d = decodeImage(payload)
+            MediaFeatures(m.doc_id, m.kind, payload.length,
+              Array.emptyFloatArray,
+              d.map(_._1), d.map(_._2),
+              d.map(x => r6(x._3)), d.map(x => r6(x._4)), d.map(x => r6(x._5)),
+              None, None, None)
+          case "audio" =>
+            decodeAudio(payload) match {
+              case Some((sr, nf, rms)) =>
+                MediaFeatures(m.doc_id, m.kind, payload.length,
+                  Array.emptyFloatArray, None, None, None, None, None,
+                  Some(sr), Some(nf), Some(r6(rms)))
+              case None => stub // undecodable audio → dead-letter stub leg
+            }
+          case _ => stub
+        }
       }
     }
   }

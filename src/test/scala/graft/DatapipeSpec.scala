@@ -545,9 +545,40 @@ class DatapipeSpec extends AnyFunSuite {
     // malformed image payload (not a PNG) → dead-letter None, no crash
     assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    // with stand-in (non-WAV) audio payloads the audio rows dead-letter to
+    // the stub leg: no audio fields, stride features intact
+    assert(feats.filter(_.kind == "audio").forall(f =>
+      f.audio_sr.isEmpty && f.feature.length == 8))
     val frames = Multimodal.sampleFrames(media)
     assert(frames.filter(col("frame_idx") === 0).count() ===
       media.filter(col("kind") === "video").count())
     assert(frames.filter(col("offset_ms") =!= col("frame_idx") * 1000).count() === 0)
+  }
+
+  test("multimodal: real AudioSystem WAV decode round-trips the sample function") {
+    val media = Multimodal.mediaWithRealMedia(spark, docs)
+    val audio = Multimodal.extractFeatures(spark, media).collect()
+      .filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    audio.foreach { f =>
+      val n = Multimodal.audioFrames(f.doc_id)
+      assert(f.audio_sr === Some(8000) && f.audio_frames === Some(n.toLong),
+        s"decoded rate/frames diverge for doc ${f.doc_id}")
+      val ss = (0 until n).map { i =>
+        val s = Multimodal.audioSample(f.doc_id, i) - 128; s.toLong * s
+      }.sum
+      val rms = BigDecimal(math.sqrt(ss.toDouble / n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f.audio_rms === Some(rms), s"decoded RMS diverges for doc ${f.doc_id}")
+      // real decode leg → no stub features
+      assert(f.feature.isEmpty)
+    }
+    // malformed audio payload (not a WAV) → dead-letter None, no crash
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    // the WAV bytes are a REAL container: header magic present
+    val wav = Multimodal.renderWav(7L)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
   }
 }
