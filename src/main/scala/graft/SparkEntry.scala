@@ -446,6 +446,36 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 400),
         docs.filter(col("doc_id") < 400), "doc_id", "text")
     }),
+    "q_dedup_incremental_stream" -> ((s, d) => {
+      // the STREAM path of incremental dedup (StreamingDedup: foreachBatch
+      // → fp-reduce → anti-join committed keys → epoch-append), surfaced to
+      // the driver gate like the other *_stream rows: the accumulated
+      // corpus (doc_id < 400) arrives as micro-batch 0, the "daily" batch
+      // (doc_id ≥ 400) as micro-batch 1, and epoch snapshot 1 must equal
+      // the batch twin (q_dedup_incremental — same oracle). MemoryStream is
+      // necessarily fed from the driver — the documented verification seam;
+      // the per-batch dedup dataflow itself runs distributed.
+      import graft.streaming.StreamingDedup
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[StreamingDedup.Doc].collect()
+      val (oldBatch, newBatch) = docs.partition(_.doc_id < 400)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-sdedup").toString
+      val stream = MemoryStream[StreamingDedup.Doc]
+      val query = StreamingDedup.start(s, stream.toDS().toDF(),
+        s"$dir/table", s"$dir/ckpt")
+      try {
+        stream.addData(oldBatch.toSeq)
+        query.processAllAvailable()
+        stream.addData(newBatch.toSeq)
+        query.processAllAvailable()
+      } finally query.stop()
+      StreamingDedup.landedRange(s, s"$dir/table", 0)
+    }),
     "q_minhash_est" -> ((s, d) => {
       // signature-based Jaccard estimate over the LSH candidates — the
       // cheap verify at lake scale (no per-pair re-tokenization; unbiased,
@@ -804,6 +834,13 @@ object SparkEntry {
         "SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM b GROUP BY 1"),
     "q_lsh_candidates" -> lshCandidatesSql,
     "q_dedup_incremental" ->
+      ("WITH fp AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents), " +
+        "k AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 400), " +
+        "b AS (SELECT fp, min(doc_id) AS id FROM fp WHERE doc_id >= 400 GROUP BY 1) " +
+        "SELECT b.id, b.fp FROM b WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.fp = b.fp)"),
+    // the stream path must land EXACTLY the batch twin's survivors in its
+    // second epoch snapshot
+    "q_dedup_incremental_stream" ->
       ("WITH fp AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM documents), " +
         "k AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 400), " +
         "b AS (SELECT fp, min(doc_id) AS id FROM fp WHERE doc_id >= 400 GROUP BY 1) " +

@@ -153,15 +153,22 @@ object Dedup {
     * like Jdbc.ingestIncremental (dedup each delta against the committed
     * state, then snapshot-append the survivors). */
   def incrementalDedup(batch: DataFrame, kept: DataFrame,
-                       idCol: String, textCol: String): DataFrame = {
-    val keptFp = kept
-      .select(TextStats.fingerprint(col(textCol)).as("fp")).distinct()
+                       idCol: String, textCol: String): DataFrame =
+    incrementalDedupFp(batch,
+      kept.select(TextStats.fingerprint(col(textCol)).as("fp")),
+      idCol, textCol)
+
+  /** Fingerprint-keyed variant for callers that PERSIST the committed key
+    * set (the streaming epoch-append path): the accumulated side is a
+    * narrow `fp` column read from a snapshot — never re-fingerprinted
+    * document text. `keptFps` must have an `fp` column. */
+  def incrementalDedupFp(batch: DataFrame, keptFps: DataFrame,
+                         idCol: String, textCol: String): DataFrame =
     batch
       .select(col(idCol).as("id"), TextStats.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min(col("id")).as("id"))
-      .join(keptFp, Seq("fp"), "left_anti")
+      .join(keptFps.select("fp").distinct(), Seq("fp"), "left_anti")
       .select("id", "fp")
-  }
 
   /** Signature-based Jaccard ESTIMATE for candidate pairs — the cheap
     * verify at lake scale. Exact verification re-tokenizes BOTH documents

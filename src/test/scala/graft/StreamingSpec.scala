@@ -53,6 +53,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.toSet === batchRaw)
   }
 
+  test("streaming incremental dedup: cross-batch duplicate keys never re-append") {
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.{Doc => DDoc}
+    val tableDir = Files.createTempDirectory("sdedup-table").toString
+    val ckpt = Files.createTempDirectory("sdedup-ckpt").toString
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[DDoc]
+    // compactEvery=2 so the key-snapshot fold runs mid-test
+    val q = StreamingDedup.start(spark, stream.toDS().toDF(),
+      tableDir, ckpt, compactEvery = 2)
+    try {
+      // batch 0: two distinct texts + an intra-batch duplicate (min id wins)
+      stream.addData(Seq(DDoc(10, "alpha beta"), DDoc(11, "gamma delta"),
+        DDoc(12, "alpha beta")))
+      q.processAllAvailable()
+      // batch 1: re-delivers "alpha beta" (cross-batch dup) + one new text
+      stream.addData(Seq(DDoc(20, "alpha beta"), DDoc(21, "epsilon zeta")))
+      q.processAllAvailable()
+      // batch 2: everything already seen — must land an EMPTY epoch
+      stream.addData(Seq(DDoc(30, "gamma delta"), DDoc(31, "epsilon zeta")))
+      q.processAllAvailable()
+      // batch 3: whitespace-normalization dup (fingerprint equality) + new
+      stream.addData(Seq(DDoc(40, "  alpha   beta "), DDoc(41, "eta theta")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = StreamingDedup.landed(spark, tableDir)
+      .as[(Long, String)].collect()
+    // one row per distinct fingerprint, first-seen (min-id-in-batch) wins
+    assert(landed.map(_._2).distinct.length === landed.length)
+    assert(landed.map(_._1).sorted.toSeq === Seq(10L, 11L, 21L, 41L))
+    // the compaction snapshot exists and covers committed epochs
+    val io = new graft.core.TableIO(spark, tableDir)
+    assert(io.hasCommitted("committed_fps"))
+    assert(io.counterOf("committed_fps", "covers_epochs").exists(_ >= 1L))
+    // per-epoch survivors: epoch 1 = the one novel doc of batch 1
+    val epoch1 = StreamingDedup.landedRange(spark, tableDir, 0)
+      .as[(Long, String)].collect().filter(_._1 < 30)
+    assert(epoch1.map(_._1).toSet === Set(21L))
+  }
+
   test("stateful sessionization: stream (flatMapGroupsWithState) ≡ batch windows") {
     import graft.streaming.Sessionize
     import graft.streaming.Sessionize.{Ev, Session}
