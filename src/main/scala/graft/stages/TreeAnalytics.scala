@@ -50,6 +50,14 @@ object TreeAnalytics {
     var frontier = labeled
     var level = 0
     var growing = true
+    // Only the per-level FRONTIER is checkpointed each round; the
+    // accumulated label set grows as a LAZY union of those materialized
+    // frontiers and is re-materialized every `foldEvery` levels just to
+    // bound the union fan-in in the anti-join plan. Checkpointing the
+    // full accumulation every level was O(depth × nodes) checkpoint
+    // writes — harmless at weibo depths, quadratic on a deep graph.
+    val foldEvery = 8
+    var pendingUnions = 0
     while (growing && level < maxDepth) {
       val next = child2parent
         .join(frontier.select(col("mid").as("parent"), col("root")), Seq("parent"))
@@ -63,7 +71,12 @@ object TreeAnalytics {
         .localCheckpoint()
       if (next.isEmpty) growing = false
       else {
-        labeled = labeled.union(next).localCheckpoint()
+        labeled = labeled.union(next)
+        pendingUnions += 1
+        if (pendingUnions >= foldEvery) {
+          labeled = labeled.localCheckpoint()
+          pendingUnions = 0
+        }
         frontier = next
         level += 1
       }

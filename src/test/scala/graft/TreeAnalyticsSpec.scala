@@ -25,6 +25,24 @@ class TreeAnalyticsSpec extends AnyFunSuite {
       ("d", "r1", 3), ("r2", "r2", 0), ("p", "p", 0), ("e", "p", 1)))
   }
 
+  test("deep forest: a 200-level chain completes without per-level full re-materialization") {
+    // n000 ← n001 ← … ← n200 (chain), plus one shallow tree — the fixture
+    // the lazy-union frontier accumulation must handle in O(depth × frontier)
+    // checkpoint work, not O(depth × nodes)
+    val depth = 200
+    val chain = (1 to depth).map(i => (f"n$i%03d", f"n${i - 1}%03d"))
+    val deep = (Seq(("n000", null.asInstanceOf[String]), ("x", "n000")) ++ chain)
+      .toDF("mid", "repost_id")
+    val labels = TreeAnalytics.rootsAndLevels(deep, maxDepth = 256)
+      .as[(String, String, Int)].collect()
+    assert(labels.length === depth + 2)
+    val byMid = labels.map(l => l._1 -> l).toMap
+    assert(byMid(f"n$depth%03d") === (f"n$depth%03d", "n000", depth))
+    assert(byMid("n100") === ("n100", "n000", 100))
+    assert(byMid("x") === ("x", "n000", 1))
+    assert(labels.forall(_._2 == "n000"))
+  }
+
   test("treeDepths + depthHistogram (Blog.kt:69–78, BlogTreeAnalyze.kt:72)") {
     val labels = TreeAnalytics.rootsAndLevels(edges)
     val depths = TreeAnalytics.treeDepths(labels)
