@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSim, DecodeMid, EncodeMid, SignBucket}
+import graft.functions.{CosineSim, DecodeMid, EncodeMid, SignBucket, SpanFields, TextCounts}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -47,5 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"sign_bucket: planes must be an integer literal, got $other")
         }
       }))
+    ext.injectFunction((FunctionIdentifier("text_counts"),
+      info(classOf[TextCounts], "text_counts", "text_counts(text) - all 8 per-doc scalar counters (char/token/distinct/subword/stopword/cjk/punct/symbol) in ONE fused text walk; read fields off the returned struct"),
+      (args: Seq[Expression]) => { arity("text_counts", 1, args); TextCounts(args.head) }))
+    ext.injectFunction((FunctionIdentifier("span_fields"),
+      info(classOf[SpanFields], "span_fields", "span_fields(spans) - first-per-kind span fields + stat counters of an interleaved span array in ONE walk; read fields off the returned struct"),
+      (args: Seq[Expression]) => { arity("span_fields", 1, args); SpanFields(args.head) }))
   }
 }

@@ -47,6 +47,32 @@ class ExtensionsSpec extends AnyFunSuite {
           array(lit(1.0), lit(0.5), lit(-2.0)), 8).as("b"))
         .collect()(0).getLong(0)
       assert(ann.getLong(1) === viaCol)
+
+      // the fused one-walk natives resolve from SQL too — whole struct
+      // surface, same values as the DataFrame API
+      val tc = spark.sql(
+        "SELECT text_counts('The quick fox. The fox!').token_count AS t, " +
+          "text_counts('The quick fox. The fox!').distinct_tokens AS d, " +
+          "text_counts('The quick fox. The fox!').stopword_count AS s, " +
+          "text_counts('The quick fox. The fox!').punct_count AS p").collect()(0)
+      assert(tc.getInt(0) === 5 && tc.getInt(1) === 4)
+      assert(tc.getInt(2) === 2) // 'The' ×2 (case-insensitive stopword)
+      assert(tc.getInt(3) === 2) // one '.' + one '!'
+      val tcPlan = spark.sql("SELECT text_counts('x').char_count AS c")
+        .queryExecution.executedPlan.toString
+      assert(!tcPlan.contains("ScalaUDF"), s"text_counts fell back to a UDF:\n$tcPlan")
+
+      val sf = spark.sql(
+        "SELECT span_fields(array(" +
+          "named_struct('kind', 'text', 'text', 'hello world', 'media_ref', CAST(NULL AS STRING), 'offset', 3), " +
+          "named_struct('kind', 'uname', 'text', 'bob', 'media_ref', CAST(NULL AS STRING), 'offset', 1), " +
+          "named_struct('kind', 'text', 'text', 'later span', 'media_ref', CAST(NULL AS STRING), 'offset', 9)" +
+          ")) AS f").select("f.text_text", "f.text_off", "f.uname_text", "f.is_comment")
+        .collect()(0)
+      assert(sf.getString(0) === "hello world") // min-offset text span wins
+      assert(sf.getInt(1) === 3)
+      assert(sf.getString(2) === "bob")
+      assert(!sf.getBoolean(3))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
