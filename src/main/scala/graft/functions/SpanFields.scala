@@ -3,11 +3,70 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd `∃ span: span.kind == kind` over an interleaved span array —
+  * the doc-classification predicate (blog vs comment) that gates BOTH
+  * normalize streams, evaluated on EVERY corpus row. The `exists(spans,
+  * s -> s.kind == 'cid')` higher-order formulation it replaces is
+  * interpreted: one lambda dispatch + variable bind per ELEMENT per row —
+  * pure allocation bandwidth in the fused map stage's hottest filter.
+  * Null elements / null kinds are skipped (the corpus never produces
+  * them; SpanFields skips them identically). Early exit on first hit. */
+case class HasSpanKind(child: Expression, kind: String)
+    extends UnaryExpression {
+
+  override def prettyName: String = "has_span_kind"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+
+  private lazy val elemType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val iKind = elemType.fieldIndex("kind")
+  private lazy val nFields = elemType.length
+  private lazy val target = UTF8String.fromString(kind)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HasSpanKind.hasKind(input.asInstanceOf[ArrayData], iKind, nFields, target)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val targetRef = ctx.addReferenceObj("kindU", target,
+      classOf[UTF8String].getName)
+    // NOTE: the helper must NOT be named `eval` — the case class inherits
+    // Expression.eval(InternalRow), which suppresses the companion's static
+    // forwarder, and Janino then resolves the call to the instance method
+    // and fails (silent interpreted fallback for the whole projection).
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HasSpanKind.hasKind($c, $iKind, $nFields, $targetRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HasSpanKind =
+    copy(child = newChild)
+}
+
+object HasSpanKind {
+  def hasKind(arr: ArrayData, iKind: Int, nFields: Int,
+              target: UTF8String): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val row = arr.getStruct(i, nFields)
+        if (!row.isNullAt(iKind) && row.getUTF8String(iKind).equals(target))
+          return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  def apply(c: Column, kind: String): Column =
+    ColumnBridge.column(HasSpanKind(ColumnBridge.expression(c), kind))
+}
 
 /** One-pass span-field extraction: spans array → flat struct of the
   * min-offset span per kind (+ prefix-matched stat counters + the
@@ -48,15 +107,20 @@ case class SpanFields(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    // per-kind best (min-offset) text/ref; stats tracked per prefix
-    val off = Array.fill(kinds.length)(Int.MaxValue)
+    // per-kind best (min-offset) text/ref; stats tracked per prefix.
+    // Scratch is PER-THREAD and reset per call — six fresh arrays per row
+    // was measurable allocation bandwidth on the corpus-wide normalize
+    // pass (the host-shared resource the 4N-executor side contends for).
+    val scratch = SpanFields.tlScratch.get()
+    scratch.reset()
+    val off = scratch.off
     // null offsets order LAST (sentinel MaxValue-1) but must SURFACE as
     // null, not the sentinel — tracked separately from the ordering value
-    val offNull = new Array[Boolean](kinds.length)
-    val text = new Array[UTF8String](kinds.length)
-    val ref = new Array[UTF8String](kinds.length)
-    val statOff = Array.fill(statPrefixes.length)(Int.MaxValue)
-    val stat = new Array[UTF8String](statPrefixes.length)
+    val offNull = scratch.offNull
+    val text = scratch.text
+    val ref = scratch.ref
+    val statOff = scratch.statOff
+    val stat = scratch.stat
     var isComment = false
     var i = 0
     while (i < n) {
@@ -142,6 +206,29 @@ object SpanFields {
   /** stat field name for a counter prefix (转发/评论/点赞/赞). */
   def statField(prefix: String): String =
     s"stat_${statPrefixNames.indexOf(prefix)}"
+
+  /** Reused per-thread walk state (results are COPIED into the output row
+    * before the next call, so reuse is safe). */
+  private[functions] final class Scratch {
+    val off = new Array[Int](kindNames.length)
+    val offNull = new Array[Boolean](kindNames.length)
+    val text = new Array[UTF8String](kindNames.length)
+    val ref = new Array[UTF8String](kindNames.length)
+    val statOff = new Array[Int](statPrefixNames.length)
+    val stat = new Array[UTF8String](statPrefixNames.length)
+    def reset(): Unit = {
+      java.util.Arrays.fill(off, Int.MaxValue)
+      java.util.Arrays.fill(offNull, false)
+      java.util.Arrays.fill(text.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(ref.asInstanceOf[Array[AnyRef]], null)
+      java.util.Arrays.fill(statOff, Int.MaxValue)
+      java.util.Arrays.fill(stat.asInstanceOf[Array[AnyRef]], null)
+    }
+  }
+
+  private[functions] val tlScratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
 
   def apply(c: Column): Column =
     ColumnBridge.column(SpanFields(ColumnBridge.expression(c)))

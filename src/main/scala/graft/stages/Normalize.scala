@@ -33,8 +33,11 @@ object Normalize {
   def withSortedSpans(docs: DataFrame): DataFrame =
     docs.withColumn("spans", spansSorted(col("spans")))
 
+  /** blog/comment classifier — native codegen'd early-exit walk, not the
+    * interpreted exists() HOF (one lambda dispatch per element per row on
+    * the hottest filter in the pipeline; see functions.HasSpanKind). */
   def isComment(spans: Column): Column =
-    exists(spans, s => s.getField("kind") === "cid")
+    graft.functions.HasSpanKind(spans, "cid")
 
   private def withSf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), SpanFields(col("spans")).as("sf"))

@@ -63,30 +63,47 @@ final class Trie private[stages] (
     out.toSet
   }
 
+  /** Per-thread scratch: decoded chars + matched-node ids. The earlier
+    * `text.toString` materialized a java String (char[] + String header)
+    * for EVERY span row — at corpus scale that is the mention stage's
+    * dominant allocation, and allocation bandwidth is a HOST-shared
+    * resource: the 4N-executor side (8 concurrent cores) pays the
+    * contention the 1-executor side never sees, which lands directly on
+    * the scaling ratio. A thread-local buffer amortizes to zero. */
+  @transient private lazy val tlScratch =
+    new ThreadLocal[TrieScratch] {
+      override def initialValue(): TrieScratch = new TrieScratch
+    }
+
   /** Distinct matched words as Catalyst ArrayData — the entry point the
-    * codegen'd [[TrieMatch]] expression calls. Per-row allocation is one
-    * String materialization + a small int scratch + the result array;
-    * dedup is a linear probe over matched NODE ids (matches per row are
-    * few; no boxing, no hash set). */
+    * codegen'd [[TrieMatch]] expression calls. Per-row allocation is ONLY
+    * the result array (+ its UTF8String refs): the UTF-8 payload is
+    * decoded into a reused thread-local char buffer (never a String), and
+    * dedup is a linear probe over matched NODE ids in the same scratch
+    * (matches per row are few; no boxing, no hash set). */
   def matchesArray(text: UTF8String): ArrayData = {
     if (text == null) return new GenericArrayData(Array.empty[Any])
-    val s = text.toString
-    val len = s.length
-    var hit = new Array[Int](8)
+    val scratch = tlScratch.get()
+    val buf = scratch.chars(text.numBytes)
+    val len = decodeUtf8(text, buf)
+    var hit = scratch.hits
     var nHit = 0
     var i = 0
     while (i < len) {
       var n = 0
       var j = i
       while (n >= 0 && j < len) {
-        n = step(n, s.charAt(j))
+        n = step(n, buf(j))
         if (n >= 0) {
           if (words(n) != null) {
             var k = 0
             var seen = false
             while (k < nHit && !seen) { seen = hit(k) == n; k += 1 }
             if (!seen) {
-              if (nHit == hit.length) hit = java.util.Arrays.copyOf(hit, nHit * 2)
+              if (nHit == hit.length) {
+                hit = java.util.Arrays.copyOf(hit, nHit * 2)
+                scratch.hits = hit
+              }
               hit(nHit) = n
               nHit += 1
             }
@@ -100,5 +117,54 @@ final class Trie private[stages] (
     var k = 0
     while (k < nHit) { out(k) = wordsU(hit(k)); k += 1 }
     new GenericArrayData(out)
+  }
+
+  /** UTF-8 → UTF-16 decode into `buf` (caller-sized: chars ≤ bytes for
+    * every UTF-8 sequence). Matches String/UTF8String.toString for valid
+    * input — including surrogate pairs for 4-byte sequences; a truncated
+    * trailing sequence is dropped (valid Spark UTF8Strings never have
+    * one). Returns the decoded length. */
+  private def decodeUtf8(text: UTF8String, buf: Array[Char]): Int = {
+    val nb = text.numBytes
+    var p = 0
+    var len = 0
+    while (p < nb) {
+      val b0 = text.getByte(p) & 0xff
+      if (b0 < 0x80) {
+        buf(len) = b0.toChar; len += 1; p += 1
+      } else if (b0 < 0xe0) {
+        if (p + 1 >= nb) return len
+        buf(len) = (((b0 & 0x1f) << 6) |
+          (text.getByte(p + 1) & 0x3f)).toChar
+        len += 1; p += 2
+      } else if (b0 < 0xf0) {
+        if (p + 2 >= nb) return len
+        buf(len) = (((b0 & 0x0f) << 12) |
+          ((text.getByte(p + 1) & 0x3f) << 6) |
+          (text.getByte(p + 2) & 0x3f)).toChar
+        len += 1; p += 3
+      } else {
+        if (p + 3 >= nb) return len
+        val cp = ((b0 & 0x07) << 18) |
+          ((text.getByte(p + 1) & 0x3f) << 12) |
+          ((text.getByte(p + 2) & 0x3f) << 6) |
+          (text.getByte(p + 3) & 0x3f)
+        buf(len) = Character.highSurrogate(cp)
+        buf(len + 1) = Character.lowSurrogate(cp)
+        len += 2; p += 4
+      }
+    }
+    len
+  }
+}
+
+/** Reused per-thread buffers for [[Trie.matchesArray]]. */
+private[stages] final class TrieScratch {
+  private var buf = new Array[Char](256)
+  var hits = new Array[Int](8)
+  def chars(atLeast: Int): Array[Char] = {
+    if (buf.length < atLeast)
+      buf = new Array[Char](math.max(atLeast, buf.length * 2))
+    buf
   }
 }

@@ -107,6 +107,32 @@ class SpanFieldsSpec extends AnyFunSuite {
     assert(viaSf.collect().toSeq.map(_.toSeq) === sorted.collect().toSeq.map(_.toSeq))
   }
 
+  test("trie matchesArray ≡ String-path matches across UTF-8 widths (incl. surrogates)") {
+    import graft.stages.Mentions
+    import org.apache.spark.unsafe.types.UTF8String
+    val dict = Seq("佛教", "道教", "ascii", "mix佛x", "🎉party", "z")
+    val trie = Mentions.buildTrie(dict)
+    val texts = Seq(
+      "谈谈佛教与道教的区别",                    // 3-byte CJK
+      "plain ascii text with z",                  // 1-byte
+      "ümlaut és café mix佛x done",               // 2-byte + mixed
+      "big 🎉party emoji 🎉 again",               // 4-byte surrogate pair
+      "佛", "", "🎉", "zzz佛教z")
+    texts.foreach { t =>
+      val viaArray = trie.matchesArray(UTF8String.fromString(t))
+      val got = (0 until viaArray.numElements())
+        .map(i => viaArray.getUTF8String(i).toString).toSet
+      assert(got === trie.matches(t), s"diverged on '$t'")
+    }
+    // thread-local scratch survives growth: a text longer than the initial
+    // 256-char buffer decodes correctly
+    val long = ("佛教" * 300) + " 🎉party tail z"
+    val big = trie.matchesArray(UTF8String.fromString(long))
+    val gotBig = (0 until big.numElements())
+      .map(i => big.getUTF8String(i).toString).toSet
+    assert(gotBig === trie.matches(long))
+  }
+
   /** the old HOF formulation, kept here as the parity oracle (null offsets
     * sort last, mirroring the engine's ordering rule) */
   private def Normalize_sortedFirst(d: org.apache.spark.sql.DataFrame) = {
