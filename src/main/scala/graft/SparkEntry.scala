@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{Bucketing, Rules}
-import graft.datapipe.{Dedup, Multimodal, Similarity, TextStats}
+import graft.datapipe.{Dedup, Multimodal, Quantiles, Similarity, TextStats}
 import graft.gen.{Corpus, CorpusData}
 import graft.stages._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -511,6 +511,20 @@ object SparkEntry {
         .select(col("source"), col("n_docs"),
           round(col("qs").cast("double") / col("n_docs"), 4).as("mean_quality"),
           (col("qs").cast("double") / col("n_docs") < 0.5).as("low_quality"))),
+    "q_quality_quantiles" -> ((s, d) =>
+      // per-source quality distribution at the points a curation threshold
+      // is read from: EXACT p50/p90 via the bounded-cardinality two-phase
+      // count-by-value quantile (quality is 4-decimal ⇒ ≤ 10001 distinct
+      // values — the per-key interpolation table is tiny at any corpus
+      // size; percentile_approx would not be oracle-reproducible)
+      Quantiles.byKey(t(s, d, "documents"), "source",
+        TextStats.qualityScore(col("text")), Seq(0.5, 0.9))),
+    "q_quality_topp" -> ((s, d) =>
+      // the curation ACTION: keep docs at/above their source's p90 quality
+      // — per-source thresholds are a tiny broadcast dim, corpus unshuffled
+      Quantiles.keepAboveQuantile(t(s, d, "documents"), "source",
+          TextStats.qualityScore(col("text")), 0.9)
+        .select(col("doc_id"), col("source"))),
     "q_lsh_candidates" -> ((s, d) =>
       // md5 hash family (oracle-reproducible); the bucket-size guard makes
       // the UNCAPPED input tractable even on the dense synthetic vocab
@@ -871,6 +885,31 @@ object SparkEntry {
         "g AS (SELECT source, count(*) AS n_docs, sum(CAST(quality AS DECIMAL(12,4))) AS qs FROM q GROUP BY 1) " +
         "SELECT source, n_docs, round(CAST(qs AS DOUBLE) / n_docs, 4) AS mean_quality, " +
         "(CAST(qs AS DOUBLE) / n_docs < 0.5) AS low_quality FROM g"),
+    "q_quality_quantiles" ->
+      // independent check: DuckDB's own continuous-quantile aggregate over
+      // per-doc qualities vs the engine's count-by-value interpolation
+      ("WITH s AS (SELECT doc_id, source, length(text) AS n, " +
+        "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct, " +
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "q AS (SELECT source, round(" +
+        "(CASE WHEN n BETWEEN 50 AND 2000 THEN 1.0 WHEN n BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END) * 0.4 + " +
+        "least(CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) * 4.0, 1.0) * 0.4 + " +
+        "(1.0 - least(CAST(punct AS DOUBLE) / greatest(n, 1) * 10.0, 1.0)) * 0.2, 4) AS quality FROM s) " +
+        "SELECT source, count(*) AS n_rows, " +
+        "round(quantile_cont(quality, 0.5), 4) AS q50, " +
+        "round(quantile_cont(quality, 0.9), 4) AS q90 FROM q GROUP BY 1"),
+    "q_quality_topp" ->
+      ("WITH s AS (SELECT doc_id, source, length(text) AS n, " +
+        "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct, " +
+        "string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "q AS (SELECT doc_id, source, round(" +
+        "(CASE WHEN n BETWEEN 50 AND 2000 THEN 1.0 WHEN n BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END) * 0.4 + " +
+        "least(CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) " +
+        "/ greatest(len(toks), 1) * 4.0, 1.0) * 0.4 + " +
+        "(1.0 - least(CAST(punct AS DOUBLE) / greatest(n, 1) * 10.0, 1.0)) * 0.2, 4) AS quality FROM s), " +
+        "thr AS (SELECT source, round(quantile_cont(quality, 0.9), 4) AS q90 FROM q GROUP BY 1) " +
+        "SELECT q.doc_id, q.source FROM q JOIN thr USING (source) WHERE q.quality >= thr.q90"),
     "q_tfidf_keywords" ->
       ("WITH tf AS (SELECT doc_id, u.term, count(*) AS tf FROM (" +
         "SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
