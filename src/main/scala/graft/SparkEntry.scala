@@ -354,6 +354,11 @@ object SparkEntry {
       // sub-document dedup: first corpus-wide occurrence of each 8-token
       // chunk survives; per-doc scrub summary + reassembled text
       Dedup.chunkDedup(t(s, d, "documents"), "doc_id", "text")),
+    "q_boilerplate_scrub" -> ((s, d) =>
+      // cross-doc boilerplate removal: chunks present in > 2 distinct docs
+      // are removed from EVERY doc (no first-copy survives — the
+      // complement of q_chunk_dedup's keep-first rule)
+      Dedup.boilerplateScrub(t(s, d, "documents"), "doc_id", "text")),
     "q_redact" -> ((s, d) =>
       // PII scrub; the corpus has no planted PII, so the query stitches a
       // deterministic email/phone/IP per doc before redacting — the oracle
@@ -1168,6 +1173,16 @@ object SparkEntry {
         "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
         "coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS kept_text " +
         "FROM r GROUP BY 1"),
+    "q_boilerplate_scrub" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
+        "ch AS (SELECT doc_id, u.i AS idx, array_to_string(toks[(u.i*8+1):(u.i*8+8)], ' ') AS para " +
+        "FROM t CROSS JOIN unnest(generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1)) AS u(i)), " +
+        "b AS (SELECT md5(para) AS h FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 2), " +
+        "k AS (SELECT doc_id, idx, para, (md5(para) IN (SELECT h FROM b)) AS drop FROM ch) " +
+        "SELECT doc_id, count(*) AS n_chunks, " +
+        "CAST(sum(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, " +
+        "coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE NOT drop), '') AS clean_text " +
+        "FROM k GROUP BY 1"),
     "q_redact" ->
       ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
         "text || ' contact doc' || doc_id || '@example.com or 555-' || " +

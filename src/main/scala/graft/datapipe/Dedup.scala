@@ -305,6 +305,51 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Cross-document boilerplate removal (the C4/RefinedWeb scrub, chunk
+    * granularity): a chunk that appears in MORE THAN `maxDocs` distinct
+    * documents is boilerplate (license headers, navigation, disclaimers)
+    * and is removed from EVERY document — unlike [[chunkDedup]], no copy
+    * survives, including the first. Returns one row per doc: total chunks,
+    * dropped count, and the reassembled clean text.
+    *
+    * Scale shape: the corpus-wide doc-frequency pass exchanges
+    * `(doc_id, md5)` only — never chunk text (the decontaminate discipline)
+    * — through per-doc `distinct` + a two-phase count on the hash; the
+    * boilerplate hit set (chunks above `maxDocs`) is a tiny fraction of
+    * distinct chunks, and the removal is a LEFT ANTI join of chunk rows
+    * against it on the hash key, where AQE's skew-join split covers the
+    * hot boilerplate hashes (the anti-join is exactly the shape skew
+    * handling applies to — contrast the window note on [[chunkDedup]]). */
+  def boilerplateScrub(docs: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int = 8, maxDocs: Int = 2): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    val idxSeq = sequence(lit(0), nChunks - 1)
+    val chunks = docs.select(col(idCol),
+        posexplode(transform(idxSeq,
+          i => concat_ws(" ",
+            slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
+      .withColumn("h", md5(col("para")))
+    val boiler = chunks
+      .select(col(idCol), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > maxDocs)
+      .select("h")
+    val perDoc = docs.select(col(idCol),
+      size(idxSeq).cast("long").as("n_chunks"))
+    val keptPerDoc = chunks.join(boiler, Seq("h"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("para")))),
+          s => s.getField("para")), " ").as("clean_text"))
+    perDoc.join(keptPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---- transitive dedup clusters -------------------------------------------
 
   /** The scrub step after pair verification: near-duplication is transitive

@@ -492,6 +492,32 @@ class DatapipeSpec extends AnyFunSuite {
     assert(r(2L)._3 === 2)
   }
 
+  test("boilerplate scrub removes >maxDocs chunks from EVERY doc, keeps the rest") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"   // in 3 docs > maxDocs=2 → dropped
+    val pair = "p1 p2 p3 p4 p5 p6 p7 p8"     // in exactly 2 docs → kept
+    val rep = Seq(
+      (0L, s"$boiler own0 a"),
+      (1L, s"$boiler $pair"),
+      (2L, s"$boiler own2 c"),
+      (3L, s"$pair solo3 d"),
+      (4L, "fresh words only in this one document here ok"))
+      .toDF("doc_id", "text")
+    val r = Dedup.boilerplateScrub(rep, "doc_id", "text", maxDocs = 2)
+      .as[(Long, Long, Long, String)].collect().map(x => x._1 -> x).toMap
+    // boiler chunk dropped from ALL THREE docs — no first copy survives
+    assert(r(0L) === ((0L, 2L, 1L, "own0 a")))
+    assert(r(1L) === ((1L, 2L, 1L, pair)))   // pair chunk kept (2 docs ≤ max)
+    assert(r(2L) === ((2L, 2L, 1L, "own2 c")))
+    assert(r(3L) === ((3L, 2L, 0L, s"$pair solo3 d")))
+    assert(r(4L)._3 === 0L)
+    // a doc that is PURE boilerplate comes back empty, not missing
+    val all = Seq((0L, boiler), (1L, boiler), (2L, boiler), (3L, boiler))
+      .toDF("doc_id", "text")
+    val e = Dedup.boilerplateScrub(all, "doc_id", "text", maxDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(e.length === 4 && e.forall(x => x._3 === 1L && x._4 === ""))
+  }
+
   test("PII redaction scrubs emails, phones, IPv4 — order-safe") {
     val out = Seq("mail a.b+c@ex-ample.org then 555-0042-1234 via 10.0.0.7 done")
       .toDF("text").select(TextStats.redactPii(col("text"))).collect()(0).getString(0)

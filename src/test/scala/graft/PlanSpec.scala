@@ -149,6 +149,19 @@ class PlanSpec extends AnyFunSuite {
       s"chunk dedup collapsed to a single partition:\n$p")
   }
 
+  test("boilerplate scrub: anti-join removal, aggregate doc-frequency, no window") {
+    val p = plan(SparkEntry.queries("q_boilerplate_scrub")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"boilerplate scrub degenerated to a product join:\n$p")
+    // removal must be the anti-join shape (AQE skew-split applies to hot
+    // boilerplate hashes there), never a window on the hash key
+    assert(p.contains("LeftAnti"), s"no anti-join removal in plan:\n$p")
+    assert(!p.contains("Window"),
+      s"boilerplate doc-frequency regressed to a window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"boilerplate scrub collapsed to a single partition:\n$p")
+  }
+
   test("corpus-scrub projection: ONE fused text walk per row, inside codegen") {
     import graft.functions.TextCounts
     val df = SparkEntry.queries("q_corpus_scrub")(spark, sf)
