@@ -429,6 +429,17 @@ object SparkEntry {
       // dataflow; with a TableIO it snapshot-commits and resumes per stage)
       graft.datapipe.ScrubPipeline.run(s, t(s, d, "documents"), "doc_id", "text")
         .keepMap.select(col("id").as("doc_id"), col("keep_id"))),
+    "q_dedup_keep_best" -> ((s, d) => {
+      // curation-grade near-dup keep rule: within each verified cluster,
+      // keep the highest-QUALITY member (ties → min id), not the min id —
+      // composes the scrub closure with the quality signal
+      val docs = t(s, d, "documents")
+      val keepMap = graft.datapipe.ScrubPipeline
+        .run(s, docs, "doc_id", "text").keepMap
+      Dedup.keepBest(keepMap,
+        docs.select(col("doc_id"),
+          TextStats.qualityScore(col("text")).as("q")), "doc_id", "q")
+    }),
     "q_decontaminate" -> ((s, d) => {
       // benchmark decontamination at the PRODUCTION n = 13: flag corpus
       // docs sharing any 13-token word n-gram with an eval set. The
@@ -504,6 +515,27 @@ object SparkEntry {
       g.crossJoin(g.agg(sum(col("n_tokens")).as("tot")))
         .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
           round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share"))
+    }),
+    "q_mix_rebalance" -> ((s, d) => {
+      // token-budget mix rebalancing: the per-lang keep rates that realize
+      // a target token mix (en .5 / zh .2 / de,es,fr .1) without
+      // upsampling, plus what the deterministic hash-mod sample actually
+      // kept — the manifest a mixture-rebalance job emits
+      val docs = t(s, d, "documents")
+      val weights = Map("en" -> 0.5, "zh" -> 0.2,
+        "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1)
+      val tc = TextStats.tokenCount(col("text"))
+      val rates = graft.datapipe.Sampling
+        .rebalanceRates(docs, "lang", tc, weights)
+      val kept = graft.datapipe.Sampling
+        .rebalance(docs, "doc_id", "lang", tc, weights)
+        .groupBy("lang").agg(count(lit(1)).as("kept_docs"),
+          sum(TextStats.tokenCount(col("text")).cast("long")).as("kept_tokens"))
+      rates.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_tokens"),
+          round(col("rate"), 6).as("rate"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
     }),
     "q_source_quality" -> ((s, d) =>
       // per-source curation audit: mean quality (exact decimal mean of the
@@ -878,6 +910,24 @@ object SparkEntry {
         "sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens FROM documents GROUP BY 1, 2) " +
         "SELECT source, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
         "round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM g), 6) AS token_share FROM g"),
+    "q_mix_rebalance" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "len(string_split_regex(trim(text), '\\s+')) AS tc FROM documents), " +
+        "g AS (SELECT lang, sum(tc) AS n_tokens FROM t GROUP BY 1), " +
+        "w AS (SELECT lang, n_tokens, CAST(CASE lang WHEN 'en' THEN 0.5 " +
+        "WHEN 'zh' THEN 0.2 WHEN 'de' THEN 0.1 WHEN 'es' THEN 0.1 " +
+        "WHEN 'fr' THEN 0.1 ELSE 0.0 END AS DOUBLE) AS w FROM g), " +
+        "x AS (SELECT min(CAST(n_tokens AS DOUBLE) / w) AS x FROM w WHERE w > 0), " +
+        "r AS (SELECT lang, n_tokens, least(CAST(1.0 AS DOUBLE), " +
+        "w * x.x / CAST(n_tokens AS DOUBLE)) AS rate FROM w CROSS JOIN x WHERE w > 0), " +
+        "k AS (SELECT t.lang, count(*) AS kept_docs, sum(t.tc) AS kept_tokens " +
+        "FROM t JOIN r USING (lang) " +
+        "WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 < r.rate " +
+        "GROUP BY 1) " +
+        "SELECT r.lang, CAST(r.n_tokens AS BIGINT) AS n_tokens, " +
+        "round(r.rate, 6) AS rate, coalesce(k.kept_docs, 0) AS kept_docs, " +
+        "CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens " +
+        "FROM r LEFT JOIN k USING (lang)"),
     "q_source_quality" ->
       ("WITH s AS (SELECT doc_id, source, length(text) AS n, " +
         "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct, " +
@@ -964,6 +1014,35 @@ object SparkEntry {
         "reach AS (SELECT src AS id, src AS r FROM sym " +
         "UNION SELECT reach.id, s.dst FROM reach JOIN sym s ON s.src = reach.r) " +
         "SELECT id AS doc_id, min(r) AS keep_id FROM reach GROUP BY 1"),
+    "q_dedup_keep_best" ->
+      (lshCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM bk a JOIN ok USING (band, key) " +
+        "JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), " +
+        "jt AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents), " +
+        "vp AS (SELECT id1, id2 FROM (SELECT c.id1, c.id2, " +
+        "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard " +
+        "FROM cand c JOIN jt a ON c.id1 = a.doc_id JOIN jt b ON c.id2 = b.doc_id) " +
+        "WHERE jaccard >= 0.7), " +
+        "sym AS (SELECT id1 AS src, id2 AS dst FROM vp " +
+        "UNION SELECT id2 AS src, id1 AS dst FROM vp), " +
+        "reach AS (SELECT src AS id, src AS r FROM sym " +
+        "UNION SELECT reach.id, s.dst FROM reach JOIN sym s ON s.src = reach.r), " +
+        "comp AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY 1), " +
+        "qs AS (SELECT doc_id, length(text) AS n, " +
+        "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct, " +
+        "string_split_regex(trim(text), '\\s+') AS qtoks FROM documents), " +
+        "qx AS (SELECT doc_id, round(" +
+        "(CASE WHEN n BETWEEN 50 AND 2000 THEN 1.0 WHEN n BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END) * 0.4 + " +
+        "least(CAST(len(list_filter(qtoks, x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) " +
+        "/ greatest(len(qtoks), 1) * 4.0, 1.0) * 0.4 + " +
+        "(1.0 - least(CAST(punct AS DOUBLE) / greatest(n, 1) * 10.0, 1.0)) * 0.2, 4) AS quality FROM qs), " +
+        "j AS (SELECT comp.doc_id, comp.cluster, qx.quality FROM comp JOIN qx USING (doc_id)), " +
+        "rp AS (SELECT cluster, doc_id AS rep_id, " +
+        "row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn FROM j) " +
+        "SELECT j.doc_id, rp.rep_id, (j.doc_id = rp.rep_id) AS kept " +
+        "FROM j JOIN rp ON j.cluster = rp.cluster AND rp.rn = 1"),
     "q_decontaminate" ->
       ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
         "bt AS (SELECT array_to_string(toks[1:13], ' ') AS btext FROM tk WHERE doc_id % 50 = 0), " +

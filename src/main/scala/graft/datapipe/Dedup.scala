@@ -377,6 +377,34 @@ object Dedup {
       .select(dec(col("name")).as("id"), dec(col("comp")).as("keep_id"))
   }
 
+  /** Quality-aware cluster-representative selection: instead of
+    * [[dedupClusters]]' keep-the-min-id rule, keep the HIGHEST-QUALITY
+    * member of each near-dup cluster (ties broken by min id) — the
+    * curation-grade keep rule: when a template family contains one clean
+    * article and nine ad-mangled mirrors, min-id keeps an arbitrary
+    * mirror; this keeps the clean one. Input: `clusters` = (id, keep_id)
+    * from [[dedupClusters]] (keep_id doubles as the cluster label),
+    * `quality` = (idCol, qCol) per-doc scores. Output: (doc_id, rep_id,
+    * kept) for every clustered doc.
+    *
+    * Scale shape: the argmax is a two-phase `min(struct(-q, id))` — the
+    * lexicographic struct min IS (max quality, then min id), and partial
+    * aggregation absorbs hot clusters map-side (no window, no sort group
+    * on the cluster key); the reps table (one row per cluster) joins back
+    * on the cluster key where AQE skew-split applies. */
+  def keepBest(clusters: DataFrame, quality: DataFrame,
+               idCol: String, qCol: String): DataFrame = {
+    val member = clusters.join(quality, clusters("id") === quality(idCol))
+      .select(clusters("id").as("id"), col("keep_id").as("cluster"),
+        col(qCol).as("q"))
+    val rep = member.groupBy("cluster")
+      .agg(min(struct((-col("q")).as("nq"), col("id").as("i"))).as("m"))
+      .select(col("cluster"), col("m").getField("i").as("rep_id"))
+    member.join(rep, Seq("cluster"))
+      .select(col("id").as("doc_id"), col("rep_id"),
+        (col("id") === col("rep_id")).as("kept"))
+  }
+
   // ---- benchmark decontamination ------------------------------------------
 
   /** Training-corpus decontamination against a benchmark/eval set: flag

@@ -37,4 +37,48 @@ object Sampling {
     }
     df.filter(hashFraction(col(idCol)) < frac)
   }
+
+  /** Token-budget mix rebalancing: derive the per-stratum keep RATES that
+    * realize target token SHARES (`weights`, e.g. en→0.5, code→0.2), then
+    * sample deterministically at those rates. Downsampling-only (no
+    * upsampling/repetition): the largest achievable total budget is
+    * X = min_s(T_s / w_s) — the stratum that hits its own supply first
+    * caps the corpus — and every stratum then keeps
+    * r_s = w_s · X / T_s ≤ 1 of its tokens. Strata without a positive
+    * weight are dropped entirely.
+    *
+    * Scale shape: the totals pass is one two-phase aggregate over a
+    * narrow (stratum, token-count) projection; the rates table has one
+    * row per stratum (tiny by definition) and joins back to the corpus
+    * as a broadcast; the keep decision is the same codegen'd hash-mod
+    * filter as [[stratified]] — reproducible across runs, partitionings
+    * and engines, so an incremental re-ingestion reselects the same
+    * documents. Returns (stratum, n_tokens, rate). */
+  def rebalanceRates(docs: DataFrame, strataCol: String, tokenCount: Column,
+                     weights: Map[String, Double]): DataFrame = {
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, f).otherwise(acc)
+    }
+    val totals = docs.groupBy(strataCol)
+      .agg(sum(tokenCount.cast("long")).as("n_tokens"))
+      .withColumn("w", w).filter(col("w") > 0)
+    val budget = totals
+      .agg(min(col("n_tokens").cast("double") / col("w")).as("x"))
+    totals.crossJoin(budget)
+      .select(col(strataCol), col("n_tokens"),
+        least(lit(1.0),
+          col("w") * col("x") / col("n_tokens").cast("double")).as("rate"))
+  }
+
+  /** Apply [[rebalanceRates]]: the kept rows of `docs` under the derived
+    * per-stratum rates (strata with no positive weight vanish — inner
+    * join against the rates dim). */
+  def rebalance(docs: DataFrame, idCol: String, strataCol: String,
+                tokenCount: Column, weights: Map[String, Double]): DataFrame = {
+    val rates = rebalanceRates(docs, strataCol, tokenCount, weights)
+      .select(col(strataCol), col("rate"))
+    docs.join(broadcast(rates), Seq(strataCol))
+      .filter(hashFraction(col(idCol)) < col("rate"))
+      .drop("rate")
+  }
 }

@@ -518,6 +518,51 @@ class DatapipeSpec extends AnyFunSuite {
     assert(e.length === 4 && e.forall(x => x._3 === 1L && x._4 === ""))
   }
 
+  test("keepBest picks the highest-quality cluster member, ties to min id") {
+    val clusters = Seq( // (id, cluster label) as dedupClusters emits
+      (1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "keep_id")
+    val quality = Seq(
+      (1L, 0.3), (2L, 0.9), (3L, 0.9), (7L, 0.5), (8L, 0.2))
+      .toDF("doc_id", "q")
+    val r = Dedup.keepBest(clusters, quality, "doc_id", "q")
+      .as[(Long, Long, Boolean)].collect().map(x => x._1 -> x).toMap
+    // cluster {1,2,3}: 2 and 3 tie at 0.9 → min id 2 is the rep, NOT min-id 1
+    assert(r(1L) === ((1L, 2L, false)))
+    assert(r(2L) === ((2L, 2L, true)))
+    assert(r(3L) === ((3L, 2L, false)))
+    assert(r(7L) === ((7L, 7L, true)) && r(8L) === ((8L, 7L, false)))
+    assert(r.size === 5)
+  }
+
+  test("mix rebalance: bottleneck stratum keeps all, rates hit target shares") {
+    // en: 40 tokens, zh: 10 tokens; targets en .5 / zh .5 → X = min(40/.5,
+    // 10/.5) = 20 → zh is the bottleneck (rate 1.0), en keeps .25 of tokens
+    val d = Seq(
+      (0L, "en", "w w w w w w w w w w"), (1L, "en", "w w w w w w w w w w"),
+      (2L, "en", "w w w w w w w w w w"), (3L, "en", "w w w w w w w w w w"),
+      (4L, "zh", "z z z z z z z z z z"),
+      (5L, "xx", "dropped entirely no weight"))
+      .toDF("doc_id", "lang", "text")
+    val tc = size(split(trim(col("text")), "\\s+"))
+    val rates = graft.datapipe.Sampling
+      .rebalanceRates(d, "lang", tc, Map("en" -> 0.5, "zh" -> 0.5))
+      .as[(String, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(rates("zh") === (("zh", 10L, 1.0)))
+    assert(rates("en") === (("en", 40L, 0.25)))
+    assert(!rates.contains("xx")) // unweighted stratum has no rate row
+    val kept = graft.datapipe.Sampling
+      .rebalance(d, "doc_id", "lang", tc, Map("en" -> 0.5, "zh" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(4L) && !kept.contains(5L)) // rate-1.0 row in, xx out
+    // deterministic under repartitioning — the mix-manifest property
+    val kept2 = graft.datapipe.Sampling
+      .rebalance(d.repartition(7), "doc_id", "lang", tc,
+        Map("en" -> 0.5, "zh" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === kept)
+  }
+
   test("PII redaction scrubs emails, phones, IPv4 — order-safe") {
     val out = Seq("mail a.b+c@ex-ample.org then 555-0042-1234 via 10.0.0.7 done")
       .toDF("text").select(TextStats.redactPii(col("text"))).collect()(0).getString(0)

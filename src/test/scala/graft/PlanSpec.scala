@@ -162,6 +162,22 @@ class PlanSpec extends AnyFunSuite {
       s"boilerplate scrub collapsed to a single partition:\n$p")
   }
 
+  test("keep-best rep selection: two-phase aggregate argmax, never a window") {
+    val p = plan(SparkEntry.queries("q_dedup_keep_best")(spark, sf))
+    assert(!p.contains("Window"),
+      s"cluster argmax regressed to a window (single sort group per hot cluster):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"keep-best degenerated to a product join:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate in plan:\n$p")
+  }
+
+  test("mix rebalance: rates dim broadcast back, hash-mod filter, no window") {
+    val p = plan(SparkEntry.queries("q_mix_rebalance")(spark, sf))
+    assert(!p.contains("Window"), s"rebalance plan grew a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-stratum rates dim is not broadcast back to the corpus:\n$p")
+  }
+
   test("corpus-scrub projection: ONE fused text walk per row, inside codegen") {
     import graft.functions.TextCounts
     val df = SparkEntry.queries("q_corpus_scrub")(spark, sf)
