@@ -35,7 +35,10 @@ object Bench {
     "q_dedup_clusters", "q_decontaminate", "q_corpus_scrub",
     "q_stratified_sample", "q_tfidf_keywords", "q_embed_ivf",
     // round-4 operators
-    "q_embed_ivf_trained", "q_media_features")
+    "q_embed_ivf_trained", "q_media_features",
+    // round-5 operators
+    "q_boilerplate_scrub", "q_quality_quantiles", "q_quality_topp",
+    "q_dedup_keep_best", "q_mix_rebalance")
 
   private def session(master: String, parts: Int): SparkSession = {
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
