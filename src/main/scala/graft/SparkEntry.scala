@@ -537,6 +537,19 @@ object SparkEntry {
           coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
           coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
     }),
+    "q_pack_index" -> ((s, d) =>
+      // concat-and-chunk sequence packing: each doc's global token start
+      // offset (two-phase distributed prefix sum — NEVER a global-order
+      // window; PackingSpec pins no-SinglePartition) and the training
+      // sequences it lands in at seqLen=256
+      graft.datapipe.Packing.packIndex(
+        t(s, d, "documents"), "doc_id", "text", seqLen = 256L)),
+    "q_pack_stats" -> ((s, d) =>
+      // per-sequence fill report over the same packing: docs touching each
+      // sequence + slots filled (== 256 except the final partial one)
+      graft.datapipe.Packing.packStats(
+        graft.datapipe.Packing.packIndex(
+          t(s, d, "documents"), "doc_id", "text", seqLen = 256L), 256L)),
     "q_source_quality" -> ((s, d) =>
       // per-source curation audit: mean quality (exact decimal mean of the
       // 4-decimal scores — order-independent) + the blocklist flag a
@@ -928,6 +941,24 @@ object SparkEntry {
         "round(r.rate, 6) AS rate, coalesce(k.kept_docs, 0) AS kept_docs, " +
         "CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens " +
         "FROM r LEFT JOIN k USING (lang)"),
+    "q_pack_index" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "f AS (SELECT * FROM t WHERE n_tokens > 0), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM f) " +
+        "SELECT doc_id, n_tokens, start_offset, start_offset // 256 AS seq_first, " +
+        "(start_offset + n_tokens - 1) // 256 AS seq_last, " +
+        "(start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1 AS n_seqs FROM o"),
+    "q_pack_stats" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "f AS (SELECT * FROM t WHERE n_tokens > 0), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM f), " +
+        "e AS (SELECT start_offset, start_offset + n_tokens - 1 AS e_off, " +
+        "unnest(generate_series(start_offset // 256, (start_offset + n_tokens - 1) // 256)) AS seq_id FROM o) " +
+        "SELECT seq_id, count(*) AS n_docs, " +
+        "CAST(SUM(LEAST(e_off, (seq_id + 1) * 256 - 1) - GREATEST(start_offset, seq_id * 256) + 1) AS BIGINT) AS n_tokens " +
+        "FROM e GROUP BY 1"),
     "q_source_quality" ->
       ("WITH s AS (SELECT doc_id, source, length(text) AS n, " +
         "length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct, " +

@@ -1,0 +1,100 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sequence packing for LLM training: concatenate the corpus in one fixed
+  * total order (the doc id) and chunk the resulting token stream into
+  * fixed-length training sequences — "concat-and-chunk", the packing rule
+  * used by most large pre-training runs.
+  *
+  * The core quantity is each document's GLOBAL token start offset — a
+  * prefix sum over the whole corpus. The naive Spark spelling,
+  * `sum(n_tokens).over(Window.orderBy(id))`, plans an
+  * `Exchange SinglePartition`: 100 TB of corpus funneled through one
+  * reducer. This module computes the same prefix sum in two distributed
+  * phases instead:
+  *
+  *   1. range-partition the (id, n_tokens) projection on the order key and
+  *      aggregate ONE row per partition (its token total); `collect` those
+  *      P rows and turn them into per-partition base offsets (a P-element
+  *      exclusive prefix sum on the driver — P ≈ thousands at 100 TB,
+  *      trivially driver-sized);
+  *   2. a per-partition window cumsum (`Window.partitionBy(pid)` — P-way
+  *      parallel, never a single reducer) plus a broadcast join of the base
+  *      offsets: `start = base(pid) + local_cumsum`.
+  *
+  * Prefix sums compose across any split of a total order, so the result is
+  * independent of where the range partitioner draws its boundaries — only
+  * the (order, token count, seqLen) triple matters. The narrow projection
+  * is persisted between the two phases so both see the SAME partition ids:
+  * an independently recomputed range exchange could legally re-sample
+  * different boundaries, and phase 2's pids must match the ones phase 1
+  * collected. (A lost cache block does NOT re-sample — the boundaries are
+  * baked into the shuffle dependency; recompute refetches map outputs.)
+  */
+object Packing {
+
+  /** Per-document packing index over a fixed sequence length:
+    * (doc id, n_tokens, start_offset, seq_first, seq_last, n_seqs) where
+    * seq_first/seq_last are the ids of the first/last training sequence the
+    * document lands in and n_seqs how many it straddles. Zero-token docs
+    * are dropped (they occupy no stream positions).
+    */
+  def packIndex(docs: DataFrame, idCol: String, textCol: String,
+                seqLen: Long, parts: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = docs.sparkSession
+    val p =
+      if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val toks = docs
+      .select(col(idCol),
+        TextStats.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .repartitionByRange(p, col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // phase 1: one row per partition → driver-side exclusive prefix sum
+    val ptotals = toks.groupBy("pid").agg(sum("n_tokens").as("ptoks"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val exclusive = ptotals.map(_._2).scanLeft(0L)(_ + _)
+    val baseDf = spark.createDataFrame(
+      ptotals.map(_._1).zip(exclusive).toSeq).toDF("pid", "base")
+
+    // phase 2: per-partition cumsum (P-way parallel) + broadcast bases
+    val w = Window.partitionBy("pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .join(broadcast(baseDf), "pid")
+      .withColumn("start_offset",
+        coalesce(sum("n_tokens").over(w), lit(0L)) + col("base"))
+      .withColumn("seq_first", expr(s"start_offset div $seqLen"))
+      .withColumn("seq_last",
+        expr(s"(start_offset + n_tokens - 1) div $seqLen"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .select(idCol, "n_tokens", "start_offset", "seq_first", "seq_last",
+        "n_seqs")
+  }
+
+  /** Per-sequence fill report: how many documents touch each training
+    * sequence and how many of its token slots they fill (== seqLen for
+    * every sequence except the final partial one). The doc→sequence
+    * fan-out is bounded: ceil(n_tokens / seqLen) + 1 rows per doc.
+    */
+  def packStats(index: DataFrame, seqLen: Long): DataFrame = {
+    val end = col("start_offset") + col("n_tokens") - 1
+    index
+      .withColumn("seq_id",
+        explode(sequence(col("seq_first"), col("seq_last"))))
+      .withColumn("fill",
+        least(end, (col("seq_id") + 1) * seqLen - 1) -
+          greatest(col("start_offset"), col("seq_id") * seqLen) + 1)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("fill").as("n_tokens"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.datapipe.Packing
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequence packing (concat-and-chunk): the two-phase distributed prefix
+  * sum must equal the sequential reference, be invariant to where the
+  * range partitioner cuts, and never plan a single-reducer global window.
+  */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // token counts by whitespace split: 3, 5, 1, 4, 2, 1, 6 — the shared
+  // tokenizer convention (split of trim) yields [""] for whitespace-only
+  // text, i.e. ONE token, identically in Spark and the DuckDB oracle
+  private def docs = Seq(
+    (10L, "a b c"),
+    (11L, "a b c d e"),
+    (12L, "solo"),
+    (13L, "w x y z"),
+    (14L, "p q"),
+    (15L, "   "),
+    (16L, "s t u v w x"))
+    .toDF("doc_id", "text")
+
+  test("packIndex matches the sequential concat-and-chunk reference") {
+    val L = 4L
+    val got = Packing.packIndex(docs, "doc_id", "text", L, parts = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+
+    // sequential reference: cumulative offsets over doc_id order
+    val toks = Seq(10L -> 3L, 11L -> 5L, 12L -> 1L, 13L -> 4L, 14L -> 2L,
+      15L -> 1L, 16L -> 6L)
+    var off = 0L
+    val want = toks.map { case (id, n) =>
+      val start = off; off += n
+      val first = start / L; val last = (start + n - 1) / L
+      (id, n, start, first, last, last - first + 1)
+    }
+    assert(got === want)
+    // doc 11 (start 3, 5 tokens, L=4) straddles seqs 0..1
+    assert(want.find(_._1 == 11L).get._6 === 2)
+  }
+
+  test("result is invariant to the partition count (prefix sums compose)") {
+    val a = Packing.packIndex(docs, "doc_id", "text", 4L, parts = 2)
+      .orderBy("doc_id").collect().toSeq
+    val b = Packing.packIndex(docs, "doc_id", "text", 4L, parts = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("no single-reducer stage: the plan never funnels to one partition") {
+    val plan = Packing.packIndex(docs, "doc_id", "text", 4L, parts = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-window fallback detected:\n$plan")
+  }
+
+  test("packStats conserves tokens and fills every non-final sequence") {
+    val L = 4L
+    val idx = Packing.packIndex(docs, "doc_id", "text", L, parts = 3)
+    val stats = Packing.packStats(idx, L)
+      .orderBy("seq_id").as[(Long, Long, Long)].collect().toSeq
+    val total = 3L + 5 + 1 + 4 + 2 + 1 + 6 // 22 tokens → seqs 0..5
+    assert(stats.map(_._3).sum === total)
+    assert(stats.map(_._1) === (0L until 6L))
+    assert(stats.dropRight(1).forall(_._3 == L), s"non-full interior seq: $stats")
+    assert(stats.last._3 === total % L)
+    // seq 0 holds doc 10 (3 tokens) + the head of doc 11
+    assert(stats.head._2 === 2)
+  }
+}
