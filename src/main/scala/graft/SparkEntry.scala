@@ -550,6 +550,19 @@ object SparkEntry {
       graft.datapipe.Packing.packStats(
         graft.datapipe.Packing.packIndex(
           t(s, d, "documents"), "doc_id", "text", seqLen = 256L), 256L)),
+    "q_shard_audit" -> ((s, d) => {
+      // end-to-end shard writer: materialize the packing as
+      // shard_id-partitioned parquet (4 seqs × 256 tokens per shard) into a
+      // fresh temp dir, read it BACK, and audit per-shard docs/tokens/seqs
+      // — the oracle recomputes the audit analytically from the same
+      // concat-and-chunk rule
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-shard-audit").toString
+      graft.datapipe.Packing.writeShards(
+        graft.datapipe.Packing.packIndex(
+          t(s, d, "documents"), "doc_id", "text", seqLen = 256L),
+        s"$out/shards", 256L, seqsPerShard = 4L)
+    }),
     "q_source_quality" -> ((s, d) =>
       // per-source curation audit: mean quality (exact decimal mean of the
       // 4-decimal scores — order-independent) + the blocklist flag a
@@ -958,6 +971,18 @@ object SparkEntry {
         "unnest(generate_series(start_offset // 256, (start_offset + n_tokens - 1) // 256)) AS seq_id FROM o) " +
         "SELECT seq_id, count(*) AS n_docs, " +
         "CAST(SUM(LEAST(e_off, (seq_id + 1) * 256 - 1) - GREATEST(start_offset, seq_id * 256) + 1) AS BIGINT) AS n_tokens " +
+        "FROM e GROUP BY 1"),
+    "q_shard_audit" ->
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "f AS (SELECT * FROM t WHERE n_tokens > 0), " +
+        "o AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM f), " +
+        "e AS (SELECT start_offset, start_offset + n_tokens - 1 AS e_off, " +
+        "start_offset // 256 AS seq_first, (start_offset + n_tokens - 1) // 256 AS seq_last, " +
+        "unnest(generate_series(start_offset // 1024, (start_offset + n_tokens - 1) // 1024)) AS shard_id FROM o) " +
+        "SELECT shard_id, count(*) AS n_docs, " +
+        "CAST(SUM(LEAST(e_off, (shard_id + 1) * 1024 - 1) - GREATEST(start_offset, shard_id * 1024) + 1) AS BIGINT) AS n_tokens, " +
+        "max(LEAST(seq_last, (shard_id + 1) * 4 - 1)) - min(GREATEST(seq_first, shard_id * 4)) + 1 AS n_seqs " +
         "FROM e GROUP BY 1"),
     "q_source_quality" ->
       ("WITH s AS (SELECT doc_id, source, length(text) AS n, " +

@@ -44,8 +44,10 @@ object Packing {
     * are dropped (they occupy no stream positions).
     */
   def packIndex(docs: DataFrame, idCol: String, textCol: String,
-                seqLen: Long, parts: Int = 0): DataFrame = {
+                seqLen: Long, parts: Int = 0,
+                baseOffset: Long = 0L): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(baseOffset >= 0, s"baseOffset must be >= 0, got $baseOffset")
     val spark = docs.sparkSession
     val p =
       if (parts > 0) parts
@@ -72,13 +74,76 @@ object Packing {
     toks
       .join(broadcast(baseDf), "pid")
       .withColumn("start_offset",
-        coalesce(sum("n_tokens").over(w), lit(0L)) + col("base"))
+        coalesce(sum("n_tokens").over(w), lit(0L)) + col("base") +
+          lit(baseOffset))
       .withColumn("seq_first", expr(s"start_offset div $seqLen"))
       .withColumn("seq_last",
         expr(s"(start_offset + n_tokens - 1) div $seqLen"))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
       .select(idCol, "n_tokens", "start_offset", "seq_first", "seq_last",
         "n_seqs")
+  }
+
+  /** Incremental packing — the daily-crawl shape. Each batch packs only
+    * documents beyond the committed id high-water mark, CONTINUING the
+    * global token stream from the committed token high-water mark, and
+    * appends one snapshot per run through [[graft.core.TableIO]] (epoch
+    * append + counters, the same discipline as the JDBC incremental
+    * ingest). Invariant (PackingSpec): as long as batch ids are
+    * monotonically increasing across runs, the union of all committed
+    * snapshots is byte-identical to packing everything in one shot — a
+    * restarted or daily-repeated job never repacks, and never shifts, what
+    * an earlier run committed. Returns the full accumulated index.
+    */
+  def packIncremental(io: graft.core.TableIO, stage: String, docs: DataFrame,
+                      idCol: String, textCol: String, seqLen: Long,
+                      parts: Int = 0): DataFrame = {
+    val tokHwm = io.counterOf(stage, "token_high_water_mark").getOrElse(0L)
+    val fresh = io.counterOf(stage, "id_high_water_mark") match {
+      case Some(h) => docs.where(col(idCol) > h)
+      case None    => docs
+    }
+    val idx = packIndex(fresh, idCol, textCol, seqLen, parts,
+      baseOffset = tokHwm)
+    val agg = idx.agg(max(col(idCol)).cast("long"), sum("n_tokens"))
+      .collect()(0)
+    if (!agg.isNullAt(0))
+      io.commit(stage, idx, counters = Map(
+        "id_high_water_mark" -> agg.getLong(0),
+        "token_high_water_mark" -> (tokHwm + agg.getLong(1))))
+    io.readAll(stage)
+  }
+
+  /** Materialize the packing as training shards: one directory per
+    * `seqsPerShard` consecutive sequences (`shard_id=<k>/` partitioned
+    * parquet — the layout a 1000-executor shard-writing job produces, and
+    * the unit a training loader reads). A document straddling a shard
+    * boundary is written to EVERY shard its span intersects, so each shard
+    * reconstructs its token range without reaching into a neighbor.
+    * Returns the per-shard audit: docs written, distinct sequences, and
+    * token slots owned by the shard.
+    */
+  def writeShards(index: DataFrame, outDir: String, seqLen: Long,
+                  seqsPerShard: Long): DataFrame = {
+    require(seqsPerShard > 0, s"seqsPerShard must be positive")
+    val spark = index.sparkSession
+    val shardTok = seqLen * seqsPerShard
+    index
+      .withColumn("shard_id",
+        explode(sequence(expr(s"seq_first div $seqsPerShard"),
+          expr(s"seq_last div $seqsPerShard"))))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    val end = col("start_offset") + col("n_tokens") - 1
+    spark.read.parquet(outDir)
+      .withColumn("owned",
+        least(end, (col("shard_id") + 1) * shardTok - 1) -
+          greatest(col("start_offset"), col("shard_id") * shardTok) + 1)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("owned").as("n_tokens"),
+        (max(expr(s"least(seq_last, (shard_id + 1) * $seqsPerShard - 1)")) -
+          min(expr(s"greatest(seq_first, shard_id * $seqsPerShard)")) + 1)
+          .as("n_seqs"))
   }
 
   /** Per-sequence fill report: how many documents touch each training

@@ -59,6 +59,43 @@ class PackingSpec extends AnyFunSuite {
       s"global-window fallback detected:\n$plan")
   }
 
+  test("packIncremental: two daily batches == one-shot packing of the union") {
+    val root = java.nio.file.Files.createTempDirectory("graft-packinc").toString
+    val io = new graft.core.TableIO(spark, root)
+    val all = docs
+    val batch1 = docs.where($"doc_id" <= 13)
+    val batch2 = docs // deliberately includes already-committed ids: the
+                      // id high-water mark must drop them, not repack them
+    Packing.packIncremental(io, "pack", batch1, "doc_id", "text", 4L, parts = 3)
+    val acc = Packing.packIncremental(io, "pack", batch2, "doc_id", "text", 4L,
+      parts = 3)
+    val got = acc
+      .select("doc_id", "n_tokens", "start_offset", "seq_first", "seq_last",
+        "n_seqs")
+      .orderBy("doc_id").collect().toSeq
+    val want = Packing.packIndex(all, "doc_id", "text", 4L, parts = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(got === want)
+    // a third run with nothing new appends no snapshot and changes nothing
+    val before = io.lastCommitted("pack")
+    Packing.packIncremental(io, "pack", batch2, "doc_id", "text", 4L, parts = 3)
+    assert(io.lastCommitted("pack") === before)
+    assert(io.counterOf("pack", "token_high_water_mark") === Some(22L))
+  }
+
+  test("writeShards: boundary docs land in every intersecting shard") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val idx = Packing.packIndex(docs, "doc_id", "text", 4L, parts = 3)
+    val stats = Packing.writeShards(idx, s"$out/shards", 4L, seqsPerShard = 2L)
+      .orderBy("shard_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // 22 tokens, 8 per shard → shards 0..2 own 8/8/6 token slots
+    assert(stats === Seq((0L, 2L, 8L, 2L), (1L, 4L, 8L, 2L), (2L, 1L, 6L, 2L)))
+    // each shard is self-contained: its rows alone cover its token range
+    val shard1 = spark.read.parquet(s"$out/shards").where($"shard_id" === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shard1 === Set(12L, 13L, 14L, 15L))
+  }
+
   test("packStats conserves tokens and fills every non-final sequence") {
     val L = 4L
     val idx = Packing.packIndex(docs, "doc_id", "text", L, parts = 3)
