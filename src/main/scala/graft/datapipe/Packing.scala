@@ -132,6 +132,12 @@ object Packing {
       .withColumn("shard_id",
         explode(sequence(expr(s"seq_first div $seqsPerShard"),
           expr(s"seq_last div $seqsPerShard"))))
+      // cluster rows by shard BEFORE partitionBy: otherwise every write
+      // task leaves a sliver file in every shard directory (tasks × shards
+      // small files — the layout that kills a 100 TB shard job and the
+      // loader that reads it). One shuffle of the narrow index, one writer
+      // and one file per shard; AQE coalesces/splits reducers as needed.
+      .repartition(col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
     val end = col("start_offset") + col("n_tokens") - 1
     spark.read.parquet(outDir)
