@@ -96,6 +96,41 @@ class PackingSpec extends AnyFunSuite {
     assert(shard1 === Set(12L, 13L, 14L, 15L))
   }
 
+  test("randomized parity: packIndex == sequential reference on 300 docs") {
+    val rnd = new scala.util.Random(4242)
+    val rows = (0 until 300).map { i =>
+      // ids shuffled into a sparse, unordered range; token counts 1..40
+      (rnd.nextInt(100000).toLong * 300 + i, "w " * (1 + rnd.nextInt(40)))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val L = 32L
+    val got = Packing.packIndex(df, "doc_id", "text", L, parts = 7)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    var off = 0L
+    val want = rows.map { case (id, t) => (id, t.trim.split("\\s+").length.toLong) }
+      .sortBy(_._1)
+      .map { case (id, n) =>
+        val s = off; off += n
+        (id, n, s, s / L, (s + n - 1) / L, (s + n - 1) / L - s / L + 1)
+      }
+    assert(got === want)
+  }
+
+  test("shard layout contract: one parquet file per shard directory") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shard1f").toString
+    val idx = Packing.packIndex(docs, "doc_id", "text", 4L, parts = 3)
+    Packing.writeShards(idx, s"$out/shards", 4L, seqsPerShard = 2L)
+    val dirs = new java.io.File(s"$out/shards").listFiles()
+      .filter(_.getName.startsWith("shard_id="))
+    assert(dirs.length === 3)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName} has ${files.length} files — sliver layout regressed")
+    }
+  }
+
   test("packStats conserves tokens and fills every non-final sequence") {
     val L = 4L
     val idx = Packing.packIndex(docs, "doc_id", "text", L, parts = 3)
