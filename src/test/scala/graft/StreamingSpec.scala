@@ -53,6 +53,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.toSet === batchRaw)
   }
 
+  test("streaming packing: epochs union to the one-shot packing; replays are no-ops") {
+    import graft.streaming.StreamingPacking
+    import graft.streaming.StreamingPacking.{Doc => PDoc}
+    val tableDir = Files.createTempDirectory("spack-table").toString
+    val ckpt = Files.createTempDirectory("spack-ckpt").toString
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[PDoc]
+    val allDocs = Seq(PDoc(10, "a b c"), PDoc(11, "a b c d e"),
+      PDoc(12, "solo"), PDoc(20, "w x y z"), PDoc(21, "p q"),
+      PDoc(30, "s t u v w x"))
+    val q = StreamingPacking.start(spark, stream.toDS().toDF(),
+      tableDir, ckpt, seqLen = 4L)
+    try {
+      stream.addData(allDocs.take(3))
+      q.processAllAvailable()
+      stream.addData(allDocs.slice(3, 5))
+      q.processAllAvailable()
+      // re-delivery of already-committed ids + one genuinely new doc: the
+      // HWM filter must drop the replays, not repack (and reshift) them
+      stream.addData(allDocs.slice(2, 6))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = StreamingPacking.landed(spark, tableDir)
+      .select("doc_id", "n_tokens", "start_offset", "seq_first", "seq_last",
+        "n_seqs")
+      .orderBy("doc_id").collect().toSeq
+    val want = graft.datapipe.Packing.packIndex(
+        allDocs.toDF(), "doc_id", "text", 4L)
+      .orderBy("doc_id").collect().toSeq
+    assert(got === want)
+    // exactly one non-empty epoch per batch that carried novel ids
+    val io = new graft.core.TableIO(spark, tableDir)
+    assert(io.lastCommitted(StreamingPacking.stage) === 2)
+  }
+
   test("streaming incremental dedup: cross-batch duplicate keys never re-append") {
     import graft.streaming.StreamingDedup
     import graft.streaming.StreamingDedup.{Doc => DDoc}
