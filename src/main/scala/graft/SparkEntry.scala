@@ -550,6 +550,12 @@ object SparkEntry {
       graft.datapipe.Packing.packStats(
         graft.datapipe.Packing.packIndex(
           t(s, d, "documents"), "doc_id", "text", seqLen = 256L), 256L)),
+    "q_cdc_dedup" -> ((s, d) =>
+      // content-defined chunking dedup: rolling md5-prefix boundaries
+      // (shift-resistant, unlike the fixed chunk grid); whole per-doc
+      // chunking in ONE projection — only (id, chunk, md5) hashes reach
+      // the exchange
+      Dedup.cdcDedup(t(s, d, "documents"), "doc_id", "text", avgWords = 32)),
     "q_shard_audit" -> ((s, d) => {
       // end-to-end shard writer: materialize the packing as
       // shard_id-partitioned parquet (4 seqs × 256 tokens per shard) into a
@@ -972,6 +978,17 @@ object SparkEntry {
         "SELECT seq_id, count(*) AS n_docs, " +
         "CAST(SUM(LEAST(e_off, (seq_id + 1) * 256 - 1) - GREATEST(start_offset, seq_id * 256) + 1) AS BIGINT) AS n_tokens " +
         "FROM e GROUP BY 1"),
+    "q_cdc_dedup" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lst FROM documents), " +
+        "w0 AS (SELECT doc_id, lst, unnest(generate_series(1, len(lst))) AS pos FROM t), " +
+        "w AS (SELECT doc_id, pos, lst[pos] AS w FROM w0), " +
+        "b AS (SELECT doc_id, pos, w, CASE WHEN ('0x' || substr(md5(w), 1, 8))::BIGINT % 32 = 0 AND pos > 1 THEN 1 ELSE 0 END AS cut FROM w), " +
+        "c AS (SELECT doc_id, pos, w, SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id FROM b), " +
+        "g AS (SELECT doc_id, chunk_id, md5(string_agg(w, ' ' ORDER BY pos)) AS h, count(*) AS n_words FROM c GROUP BY 1, 2) " +
+        "SELECT h, count(*) AS n_copies, " +
+        "min(doc_id * 1000000 + chunk_id) // 1000000 AS keep_doc, " +
+        "min(doc_id * 1000000 + chunk_id) % 1000000 AS keep_chunk, " +
+        "CAST(min(n_words) AS BIGINT) AS n_words FROM g GROUP BY 1"),
     "q_shard_audit" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
         "f AS (SELECT * FROM t WHERE n_tokens > 0), " +

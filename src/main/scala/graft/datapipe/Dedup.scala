@@ -527,4 +527,67 @@ object Dedup {
         round(cosine(col("v1"), col("v2")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Content-defined chunking: split each document at words whose hash is
+    * ≡ 0 mod `avgWords` (expected chunk length `avgWords` words) — the
+    * shift-RESISTANT complement of [[chunkDedup]]'s fixed-size grid. A word
+    * inserted near the front of a mirror shifts every fixed-size chunk off
+    * the grid (zero hash reuse); rolling boundaries re-synchronize at the
+    * next boundary word, so all later chunks still dedup (DatapipeSpec
+    * measures exactly this). The boundary hash is an md5 prefix, not
+    * xxhash64, so the DuckDB oracle reproduces it bit-for-bit.
+    *
+    * Scale shape: the whole per-doc chunking runs inside ONE projection (a
+    * higher-order `aggregate` over the token array — no per-word explode,
+    * no per-word shuffle); only (id, chunk_id, md5, n_words) ever reaches
+    * an exchange. The first word always opens chunk 0 (null-sentinel
+    * accumulator), so a leading boundary word does not emit an empty
+    * chunk.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                avgWords: Int = 32): DataFrame = {
+    def boundary(w: Column) =
+      (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % avgWords) === 0
+    val zero = struct(
+      array().cast("array<string>").as("done"),
+      lit(null).cast("string").as("cur"))
+    def merge(acc: Column, w: Column) = {
+      val cur = acc.getField("cur")
+      val cut = boundary(w) && cur.isNotNull
+      struct(
+        when(cut, array_append(acc.getField("done"), cur))
+          .otherwise(acc.getField("done")).as("done"),
+        when(cut || cur.isNull, w)
+          .otherwise(concat(cur, lit(" "), w)).as("cur"))
+    }
+    def finish(acc: Column) =
+      when(acc.getField("cur").isNotNull,
+        array_append(acc.getField("done"), acc.getField("cur")))
+        .otherwise(acc.getField("done"))
+    docs
+      .select(col(idCol),
+        aggregate(TextStats.tokens(col(textCol)), zero, merge, finish)
+          .as("chunks"))
+      .select(col(idCol), posexplode(col("chunks")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        md5(col("col")).as("h"),
+        size(split(col("col"), " ")).cast("long").as("n_words"))
+  }
+
+  /** First-occurrence dedup over the content-defined chunks: one row per
+    * distinct chunk hash with its copy count and the (doc, chunk) that
+    * keeps it — min over the packed (doc·10^6 + chunk) key, a plain
+    * two-phase aggregate (partial agg absorbs hot boilerplate hashes
+    * map-side; no window, no sort group). */
+  def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
+               avgWords: Int = 32): DataFrame =
+    cdcChunks(docs, idCol, textCol, avgWords)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_copies"),
+        min(col(idCol) * 1000000L + col("chunk_id")).as("k"),
+        min("n_words").as("n_words"))
+      .select(col("h"), col("n_copies"),
+        expr("k div 1000000").as("keep_doc"),
+        pmod(col("k"), lit(1000000L)).as("keep_chunk"),
+        col("n_words"))
 }

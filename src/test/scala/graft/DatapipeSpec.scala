@@ -652,4 +652,53 @@ class DatapipeSpec extends AnyFunSuite {
     assert(new String(wav.take(4), "US-ASCII") === "RIFF")
     assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
   }
+
+  private def md5Boundary(w: String, k: Int): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 8), 16) % k == 0
+  }
+
+  test("CDC chunking matches the sequential rolling-boundary reference") {
+    val words = (0 until 220).map(i => s"w$i")
+    val text = words.mkString(" ")
+    val got = Dedup.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", avgWords = 32)
+      .orderBy("chunk_id").as[(Long, Long, String, Long)].collect().toSeq
+    // sequential reference: boundary word starts a new chunk (never the 1st)
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer[String]())
+    words.foreach { w =>
+      if (md5Boundary(w, 32) && chunks.last.nonEmpty)
+        chunks += scala.collection.mutable.ArrayBuffer[String]()
+      chunks.last += w
+    }
+    assert(chunks.length >= 4, "fixture too short to exercise boundaries")
+    val want = chunks.zipWithIndex.map { case (c, i) =>
+      val s = c.mkString(" ")
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (1L, i.toLong, d, c.length.toLong)
+    }.toSeq
+    assert(got === want)
+  }
+
+  test("CDC chunks are shift-resistant where the fixed grid is not") {
+    val words = (0 until 220).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val shifted = "inserted " + base // one word prepended
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val byDoc = Dedup.cdcChunks(df, "doc_id", "text", avgWords = 32)
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    val h1 = byDoc(1L).map(_._3).toSet
+    val h2 = byDoc(2L).map(_._3).toSet
+    // rolling boundaries re-sync after the first boundary word: every base
+    // chunk except the head survives in the shifted doc
+    assert((h1 intersect h2).size >= h1.size - 1)
+    // the fixed 8-token grid shares nothing after a 1-word shift
+    val fixedShared = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 8)
+      .where(col("n_kept") < col("n_chunks")).count()
+    assert(h1.size >= 4 && fixedShared === 0,
+      s"grid unexpectedly shift-tolerant (shared rows=$fixedShared)")
+  }
 }
