@@ -556,6 +556,25 @@ object SparkEntry {
       // chunking in ONE projection — only (id, chunk, md5) hashes reach
       // the exchange
       Dedup.cdcDedup(t(s, d, "documents"), "doc_id", "text", avgWords = 32)),
+    "q_dup_span_scrub" -> ((s, d) =>
+      // cross-document exact-substring scrub (Lee et al. shape): every
+      // duplicated 8-gram span removed except its first occurrence; grams
+      // travel as hashes, canonical pick is min(struct) in the SAME
+      // two-phase aggregate as the dup count — no window on the hot key
+      graft.datapipe.TextStats.scrubDuplicateSpans(
+        t(s, d, "documents"), "doc_id", "text", n = 8)),
+    "q_lm_score" -> ((s, d) => {
+      // CCNet-shape unigram LM quality score: model trained on the corpus
+      // itself (count-threshold pruning — a pure filter, no global top-K
+      // sort), then every doc scored by mean token log-prob with an OOV
+      // floor. The scoring exchange carries (doc, word, n) distinct-word
+      // rows, never raw tokens; the hot-stopword model join is
+      // AQE-skew-splittable
+      val docs = t(s, d, "documents")
+      graft.datapipe.LmScore.score(
+        docs, graft.datapipe.LmScore.train(docs, "text", minCount = 3L),
+        "doc_id", "text")
+    }),
     "q_shard_audit" -> ((s, d) => {
       // end-to-end shard writer: materialize the packing as
       // shard_id-partitioned parquet (4 seqs × 256 tokens per shard) into a
@@ -989,6 +1008,32 @@ object SparkEntry {
         "min(doc_id * 1000000 + chunk_id) // 1000000 AS keep_doc, " +
         "min(doc_id * 1000000 + chunk_id) % 1000000 AS keep_chunk, " +
         "CAST(min(n_words) AS BIGINT) AS n_words FROM g GROUP BY 1"),
+    "q_dup_span_scrub" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lst FROM documents), " +
+        "s AS (SELECT doc_id, lst, len(lst) AS nt FROM t), " +
+        "g AS (SELECT doc_id, nt, i, md5(array_to_string(lst[i:i+7], ' ')) AS gh " +
+        "FROM s, unnest(generate_series(1, greatest(nt - 7, 1))) AS u(i)), " +
+        "d1 AS (SELECT gh, count(*) AS c, min(doc_id) AS kd FROM g GROUP BY 1), " +
+        "d2 AS (SELECT g.gh, min(g.i) AS ki FROM g JOIN d1 ON g.gh = d1.gh AND g.doc_id = d1.kd WHERE d1.c >= 2 GROUP BY 1), " +
+        "o AS (SELECT g.doc_id, g.nt, g.i FROM g JOIN d1 ON g.gh = d1.gh JOIN d2 ON g.gh = d2.gh " +
+        "WHERE d1.c >= 2 AND NOT (g.doc_id = d1.kd AND g.i = d2.ki)), " +
+        "cov AS (SELECT DISTINCT doc_id, p FROM o, unnest(generate_series(i, least(i + 7, nt))) AS v(p)), " +
+        "w AS (SELECT doc_id, nt, pos, lst[pos] AS w FROM s, unnest(generate_series(1, nt)) AS u(pos)), " +
+        "k AS (SELECT w.doc_id, w.nt, w.pos, w.w, cov.p IS NULL AS keep FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.p) " +
+        "SELECT doc_id AS id, CAST(any_value(nt) AS BIGINT) AS n_tokens, " +
+        "CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed, " +
+        "md5(coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE keep), '')) AS clean_md5 " +
+        "FROM k GROUP BY doc_id"),
+    "q_lm_score" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents), " +
+        "tf AS (SELECT doc_id, w FROM tok WHERE len(w) > 0), " +
+        "cnt AS (SELECT w, count(*) AS c FROM tf GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt), " +
+        "model AS (SELECT w, ln(c / t) AS logp FROM cnt, tot WHERE c >= 3), " +
+        "per AS (SELECT doc_id, w, count(*) AS n FROM tf GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, " +
+        "round(sum(n * coalesce(logp, -12.0)) / sum(n), 6) AS avg_logp " +
+        "FROM per LEFT JOIN model USING (w) GROUP BY 1"),
     "q_shard_audit" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
         "f AS (SELECT * FROM t WHERE n_tokens > 0), " +

@@ -170,6 +170,42 @@ object Dedup {
       .join(keptFps.select("fp").distinct(), Seq("fp"), "left_anti")
       .select("id", "fp")
 
+  /** Committed-key-store form of the daily incremental dedup: the
+    * accumulated fingerprint set lives as a table BUCKETED on `fp`
+    * ([[graft.core.Bucketing]]), so the day's anti-join reads committed
+    * buckets in place — at lake scale the committed side (every key ever
+    * kept, growing daily) is orders of magnitude larger than one day's
+    * batch, and this layout means it is NEVER re-shuffled: the only
+    * exchange in the plan is the batch side's own fingerprint aggregate
+    * (plan-pinned in DatapipeSpec). Survivors' keys are bucket-appended to
+    * the same store, keeping the layout contract for tomorrow's run. Size
+    * `spec.buckets` to the cluster parallelism (and run with
+    * `spark.sql.shuffle.partitions == buckets` so the batch aggregate
+    * lands partition-aligned with the store). The store holds DISTINCT
+    * fps by construction (only anti-join survivors are ever appended), so
+    * no distinct pass is spent on it. */
+  def incrementalDedupCommit(batch: DataFrame, idCol: String, textCol: String,
+                             keptTable: String,
+                             spec: graft.core.Bucketing.BucketSpec)
+      : DataFrame = {
+    require(spec.key == "fp", s"committed store must bucket on fp, got ${spec.key}")
+    val spark = batch.sparkSession
+    val newKeys = batch
+      .select(col(idCol).as("id"), TextStats.fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp").agg(min(col("id")).as("id"))
+    val survivors =
+      (if (spark.catalog.tableExists(keptTable))
+         newKeys.join(spark.table(keptTable).select("fp"), Seq("fp"), "left_anti")
+       else newKeys)
+        .select("id", "fp")
+        .localCheckpoint() // pin results BEFORE the store grows below
+    survivors.select("fp").write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(spec.buckets, spec.key).sortBy(spec.key)
+      .format("parquet").saveAsTable(keptTable)
+    survivors
+  }
+
   /** Signature-based Jaccard ESTIMATE for candidate pairs — the cheap
     * verify at lake scale. Exact verification re-tokenizes BOTH documents
     * per pair (O(doc length) each); the minhash estimator touches only the

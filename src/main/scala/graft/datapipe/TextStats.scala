@@ -154,6 +154,61 @@ object TextStats {
           .as("dup_ngram_coverage"))
   }
 
+  /** CROSS-document duplicate-span removal — the rewrite complement of
+    * [[dupNgramCoverage]] and the distributed shape of exact-substring
+    * training-data dedup (Lee et al. 2022: duplicated spans are removed
+    * from every document but their first occurrence). A span = any n-token
+    * gram whose corpus-wide occurrence count is ≥ 2; the canonical
+    * (lexicographically first (doc, pos)) occurrence keeps its tokens,
+    * every other occurrence's positions are scrubbed, and the document is
+    * re-emitted from its surviving tokens.
+    *
+    * Returns (id, n_tokens, n_removed, clean_md5) — the hash, not the
+    * rewritten text, so the gate row stays narrow; callers wanting the
+    * text use the same kept-positions join.
+    *
+    * Shape at 100 TB: grams travel as md5 HASHES with positions — the
+    * exchange never carries gram text (the decontaminate discipline); the
+    * global duplicate test is one two-phase aggregate on the gram hash
+    * (map-side partials absorb boilerplate grams); canonical-occurrence
+    * selection is min(struct(doc, pos)) inside that same aggregate — no
+    * window, no sort group, so a license header repeated 10^8 times is
+    * still one combiner cell, and the occurrence join back is
+    * AQE-skew-splittable. Position scrubbing is per-doc bounded (covered
+    * positions ≤ doc length) and runs as codegen'd array ops in one
+    * projection. */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    val g = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("nt"),
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - (n - 1), lit(1)))).as("i"))
+      .select(col("id"), col("nt"), col("i"),
+        md5(concat_ws(" ", slice(col("toks"), col("i"), lit(n)))).as("gh"))
+      .localCheckpoint()
+    val dup = g.groupBy("gh")
+      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("i"))).as("k"))
+      .filter(col("c") >= 2)
+      .select(col("gh"), col("k.id").as("kd"), col("k.i").as("ki"))
+    val covered = g.join(dup, Seq("gh"))
+      .filter(!(col("id") === col("kd") && col("i") === col("ki")))
+      .select(col("id"),
+        explode(sequence(col("i"), least(col("i") + (n - 1), col("nt"))))
+          .as("p"))
+      .distinct()
+      .groupBy("id").agg(collect_list(col("p")).as("ps"))
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("ps")), lit(0)).cast("long").as("n_removed"),
+        md5(concat_ws(" ",
+          filter(col("toks"), (_, idx) =>
+            coalesce(!array_contains(col("ps"), idx + 1), lit(true)))))
+          .as("clean_md5"))
+  }
+
   /** Fraction of tokens covered by the single most frequent bigram
     * (2 × max bigram count / token count). Needs a per-doc frequency table,
     * so it is a DataFrame op (explode → two-phase count → max), not a scalar

@@ -1,6 +1,6 @@
 package graft
 
-import graft.datapipe.{Dedup, Multimodal, Similarity, TextStats}
+import graft.datapipe.{Dedup, LmScore, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -651,6 +651,102 @@ class DatapipeSpec extends AnyFunSuite {
     val wav = Multimodal.renderWav(7L)
     assert(new String(wav.take(4), "US-ASCII") === "RIFF")
     assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+  }
+
+  test("committed-store incremental dedup: bucketed store grows, never re-shuffles, never re-admits") {
+    import graft.core.Bucketing.BucketSpec
+    val tbl = "dedup_committed_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val spec = BucketSpec("fp", 4)
+    val day1 = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val s1 = Dedup.incrementalDedupCommit(day1, "doc_id", "text", tbl, spec)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1 === Seq(1L, 3L)) // within-batch dup collapses to min id
+    val day2 = Seq((10L, "alpha beta"), (11L, "delta")).toDF("doc_id", "text")
+    val s2 = Dedup.incrementalDedupCommit(day2, "doc_id", "text", tbl, spec)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s2 === Seq(11L)) // committed key not re-admitted
+    assert(spark.table(tbl).count() === 3) // store grew by the survivor only
+
+    // plan pin: the committed side is read bucket-in-place — the ONLY
+    // exchange in the anti-join is the batch side's fingerprint aggregate
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", spec.buckets)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val newKeys = day2
+        .select(col("doc_id").as("id"),
+          TextStats.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(min(col("id")).as("id"))
+      val j = newKeys.join(spark.table(tbl).select("fp"), Seq("fp"), "left_anti")
+      j.collect()
+      // AQE's toString echoes the pre-adaptive plan under "== Initial
+      // Plan ==" — count exchanges in the FINAL plan section only
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val nExchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+      assert(nExchanges === 1,
+        s"committed side must not shuffle (want 1 exchange, got $nExchanges):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("duplicate-span scrub removes every occurrence but the first, keeps unique text intact") {
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val span = (1 to 4).map(i => s"dup$i").mkString(" ") // the repeated 4-gram
+    val d1 = s"$span tail1 tail2"            // canonical (first) occurrence
+    val d2 = s"head1 head2 $span end"        // later occurrence → scrubbed
+    val d3 = "only unique words here now"    // untouched
+    val got = TextStats.scrubDuplicateSpans(
+        Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"),
+        "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 6L, 0L, m(d1))))             // first occurrence kept whole
+    assert(got(2L) === ((2L, 7L, 4L, m("head1 head2 end")))) // span excised, rest joined
+    assert(got(3L) === ((3L, 5L, 0L, m(d3))))
+  }
+
+  test("duplicate-span scrub: within-doc repeat keeps only the first copy") {
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val span = (1 to 3).map(i => s"r$i").mkString(" ")
+    val doc = s"$span mid $span" // 3-gram repeated within one doc
+    val got = TextStats.scrubDuplicateSpans(
+        Seq((7L, doc)).toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(got === ((7L, 7L, 3L, m(s"$span mid"))))
+  }
+
+  test("LM score matches a hand-computed unigram model with OOV floor") {
+    // corpus: "a a a b b c" across two docs → counts a=3 b=2 c=1, total=6;
+    // minCount=2 prunes c. logp(a)=ln(3/6), logp(b)=ln(2/6), OOV floor -12.
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "z z")).toDF("doc_id", "text")
+    val model = LmScore.train(docs.where($"doc_id" <= 2), "text", minCount = 2L)
+    val m = model.as[(String, Double)].collect().toMap
+    assert(m.keySet === Set("a", "b"))
+    assert(math.abs(m("a") - math.log(3.0 / 6.0)) < 1e-12)
+    assert(math.abs(m("b") - math.log(2.0 / 6.0)) < 1e-12)
+    val got = LmScore.score(docs, model, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val la = math.log(0.5); val lb = math.log(2.0 / 6.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((3L, r6((2 * la + lb) / 3))))       // all in-vocab
+    assert(got(2L) === ((3L, r6((la + lb - 12.0) / 3))))    // c → OOV floor
+    assert(got(3L) === ((2L, -12.0)))                       // all-OOV doc
+  }
+
+  test("LM score: all-whitespace doc yields no row; higher-quality doc scores higher") {
+    val ref = Seq((1L, "the cat sat on the mat the cat")).toDF("doc_id", "text")
+    val model = LmScore.train(ref, "text", minCount = 2L)
+    val docs = Seq((10L, "the cat"), (11L, "zq xv"), (12L, "   ")).toDF("doc_id", "text")
+    val got = LmScore.score(docs, model, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(!got.contains(12L), "whitespace-only doc must produce no row")
+    assert(got(10L) > got(11L), "reference-like text must outscore gibberish")
   }
 
   private def md5Boundary(w: String, k: Int): Boolean = {
