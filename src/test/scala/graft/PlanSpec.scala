@@ -195,6 +195,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), s"scrub projection fell out of codegen:\n$p")
   }
 
+  test("duplicate-span scrub: dup test + canonical pick are one aggregate — no window, no product") {
+    val p = plan(SparkEntry.queries("q_dup_span_scrub")(spark, sf))
+    // a window over the gram hash would put every copy of a hot boilerplate
+    // gram (license header at 10^8 copies) into one sort group; the
+    // min(struct) must ride the SAME two-phase aggregate as the dup count
+    assert(!p.contains("Window"),
+      s"canonical-occurrence pick regressed to a window on the gram hash:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"span scrub degenerated to a product join:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"span scrub collapsed to a single partition:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"),
+      s"no aggregate dup/canonical selection in the plan:\n$p")
+  }
+
+  test("LM scoring: distinct-word reduction aggregates before the model join; no window") {
+    val df = SparkEntry.queries("q_lm_score")(spark, sf)
+    df.collect() // materialize the AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"LM scoring uses a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"LM scoring degenerated to a product join:\n$p")
+    // the (doc, word) count must exist as an aggregate UPSTREAM of the
+    // model join — the exchange carries distinct-word rows, not tokens
+    assert(p.contains("HashAggregate"),
+      s"no two-phase word-count aggregate before the model join:\n$p")
+  }
+
   test("exact-dedup hot path stays inside whole-stage codegen") {
     // fingerprint (trim/regexp_replace/lower/md5) + two-phase HashAggregate
     // must all live in codegen stages ("*(n)" spans); lambda higher-order
