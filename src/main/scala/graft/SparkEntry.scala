@@ -556,6 +556,18 @@ object SparkEntry {
       // chunking in ONE projection — only (id, chunk, md5) hashes reach
       // the exchange
       Dedup.cdcDedup(t(s, d, "documents"), "doc_id", "text", avgWords = 32)),
+    "q_lm_bigram" -> ((s, d) => {
+      // interpolated bigram LM score: 0.75·P(w|prev) + 0.25·unigram
+      // backoff, OOV floor as a shared decimal literal; context totals
+      // derived from the bigram aggregate (one corpus tokenization),
+      // per-doc bigrams distinct-reduced before the model joins
+      val docs = t(s, d, "documents")
+      graft.datapipe.LmScore.scoreInterpolated(
+        docs,
+        graft.datapipe.LmScore.trainProbs(docs, "text", minCount = 3L),
+        graft.datapipe.LmScore.trainBigram(docs, "text", minCount = 3L),
+        "doc_id", "text")
+    }),
     "q_dup_span_scrub" -> ((s, d) =>
       // cross-document exact-substring scrub (Lee et al. shape): every
       // duplicated 8-gram span removed except its first occurrence; grams
@@ -1008,6 +1020,25 @@ object SparkEntry {
         "min(doc_id * 1000000 + chunk_id) // 1000000 AS keep_doc, " +
         "min(doc_id * 1000000 + chunk_id) % 1000000 AS keep_chunk, " +
         "CAST(min(n_words) AS BIGINT) AS n_words FROM g GROUP BY 1"),
+    "q_lm_bigram" ->
+      ("WITH tok0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l0 FROM documents), " +
+        "tkf AS (SELECT doc_id, list_filter(l0, x -> len(x) > 0) AS tk FROM tok0), " +
+        "b AS (SELECT doc_id, tk, len(tk) AS nt FROM tkf WHERE len(tk) > 0), " +
+        "u0 AS (SELECT unnest(tk) AS w FROM b), " +
+        "ucnt AS (SELECT w, count(*) AS c FROM u0 GROUP BY 1), " +
+        "utot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM ucnt), " +
+        "uni AS (SELECT w, c / t AS p1 FROM ucnt, utot WHERE c >= 3), " +
+        "bg AS (SELECT doc_id, tk[t-1] AS w1, tk[t] AS w2 FROM b, unnest(generate_series(2, nt)) AS s(t) WHERE nt >= 2), " +
+        "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), " +
+        "cctx AS (SELECT w1, CAST(sum(c2) AS DOUBLE) AS cc FROM c2 GROUP BY 1), " +
+        "big AS (SELECT c2.w1, c2.w2, c2.c2 / cctx.cc AS pc FROM c2 JOIN cctx USING (w1) WHERE c2.c2 >= 3), " +
+        "fst AS (SELECT b.doc_id, b.nt, ln(coalesce(u.p1, 6.14421235332821e-6)) AS t1 FROM b LEFT JOIN uni u ON u.w = b.tk[1]), " +
+        "per AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3), " +
+        "s2 AS (SELECT per.doc_id, sum(per.n * ln(0.75 * coalesce(big.pc, 0.0) + 0.25 * coalesce(u.p1, 6.14421235332821e-6))) AS sum2 " +
+        "FROM per LEFT JOIN big ON per.w1 = big.w1 AND per.w2 = big.w2 LEFT JOIN uni u ON u.w = per.w2 GROUP BY 1) " +
+        "SELECT f.doc_id AS id, CAST(f.nt AS BIGINT) AS n_tokens, " +
+        "round((f.t1 + coalesce(s2.sum2, 0.0)) / f.nt, 6) AS avg_logp " +
+        "FROM fst f LEFT JOIN s2 ON f.doc_id = s2.doc_id"),
     "q_dup_span_scrub" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lst FROM documents), " +
         "s AS (SELECT doc_id, lst, len(lst) AS nt FROM t), " +

@@ -40,6 +40,88 @@ object LmScore {
       .select(col("w"), log(col("c").cast("double") / total).as("logp"))
   }
 
+  /** e^-12 as a fixed decimal literal: the SAME string parses to the SAME
+    * double in the engine and the oracle, where a runtime `exp(-12)` could
+    * differ by an ulp between libms. */
+  val FloorProb: Double = 6.14421235332821e-6
+
+  /** Unigram model in PROBABILITY space (for interpolation): (w, p1) with
+    * p1 = c/total for words with count >= minCount. Same pruning-by-filter
+    * shape as [[train]]. */
+  def trainProbs(ref: DataFrame, textCol: String, minCount: Long = 3L): DataFrame = {
+    val cnt = ref
+      .select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum("c")).first().getLong(0).toDouble
+    cnt.where(col("c") >= minCount)
+      .select(col("w"), (col("c").cast("double") / total).as("p1"))
+  }
+
+  /** Bigram model: (w1, w2, pc) with pc = c(w1,w2) / c(w1-as-context),
+    * pruned to bigrams with count >= minCount. The context totals are
+    * derived FROM the bigram aggregate (sum of c2 per w1) — never a second
+    * corpus pass; the corpus is tokenized exactly once and the only wide
+    * exchange is the two-phase (w1, w2) count. */
+  def trainBigram(ref: DataFrame, textCol: String, minCount: Long = 3L): DataFrame = {
+    val toksF = filter(TextStats.tokens(col(textCol)), w => length(w) > 0)
+    val c2 = ref
+      .select(toksF.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("tk"), explode(sequence(lit(2), size(col("tk")))).as("t"))
+      .select(element_at(col("tk"), col("t") - 1).as("w1"),
+        element_at(col("tk"), col("t")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint() // reused for the context totals — no re-scan
+    val cctx = c2.groupBy("w1").agg(sum("c2").cast("double").as("cc"))
+    c2.where(col("c2") >= minCount)
+      .join(cctx, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (col("c2").cast("double") / col("cc")).as("pc"))
+  }
+
+  /** Interpolated bigram score: position 1 scores ln(p1(w) | floor);
+    * positions t >= 2 score ln(lambda·pc(w_{t-1}, w_t) + (1−lambda)·
+    * (p1(w_t) | floor)) — unseen bigrams back off to the unigram leg, so
+    * the mixture is always positive. `lambda` MUST be exactly
+    * representable in binary (default 0.75) or engine and oracle drift on
+    * the (1−lambda) literal. Per-doc bigram occurrences aggregate to
+    * distinct (doc, w1, w2, n) BEFORE the model joins — the same
+    * distinct-reduction discipline as [[score]]. */
+  def scoreInterpolated(docs: DataFrame, uni: DataFrame, big: DataFrame,
+                        idCol: String, textCol: String,
+                        lambda: Double = 0.75,
+                        floorProb: Double = FloorProb): DataFrame = {
+    val toksF = filter(TextStats.tokens(col(textCol)), w => length(w) > 0)
+    val base = docs
+      .select(col(idCol).as("id"), toksF.as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("id"), col("tk"), size(col("tk")).as("nt"))
+    val first = base
+      .select(col("id"), col("nt"), element_at(col("tk"), 1).as("w"))
+      .join(uni, Seq("w"), "left")
+      .select(col("id"), col("nt"),
+        log(coalesce(col("p1"), lit(floorProb))).as("t1"))
+    val sum2 = base
+      .where(col("nt") >= 2)
+      .select(col("id"), col("tk"),
+        explode(sequence(lit(2), col("nt"))).as("t"))
+      .select(col("id"), element_at(col("tk"), col("t") - 1).as("w1"),
+        element_at(col("tk"), col("t")).as("w2"))
+      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w2"), col("p1")), Seq("w2"), "left")
+      .groupBy("id")
+      .agg(sum(col("n") *
+          log(lit(lambda) * coalesce(col("pc"), lit(0.0)) +
+            lit(1 - lambda) * coalesce(col("p1"), lit(floorProb))))
+        .as("sum2"))
+    first.join(sum2, Seq("id"), "left")
+      .select(col("id"), col("nt").cast("long").as("n_tokens"),
+        round((col("t1") + coalesce(col("sum2"), lit(0.0))) / col("nt"), 6)
+          .as("avg_logp"))
+  }
+
   /** Score every document: mean token log-probability under `model`
     * ((w, logp) rows from [[train]]); unseen words score `floorLogp`.
     * Returns (id, n_tokens, avg_logp) — higher is more reference-like.

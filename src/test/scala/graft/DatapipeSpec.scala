@@ -739,6 +739,30 @@ class DatapipeSpec extends AnyFunSuite {
     assert(got(3L) === ((2L, -12.0)))                       // all-OOV doc
   }
 
+  test("interpolated bigram LM matches a hand-computed model") {
+    // corpus "a b a b c": p1(a)=p1(b)=0.4, p1(c)=0.2;
+    // pc(a,b)=1, pc(b,a)=0.5, pc(b,c)=0.5 (contexts a=2, b=2)
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val uni = LmScore.trainProbs(ref, "text", minCount = 1L)
+    val big = LmScore.trainBigram(ref, "text", minCount = 1L)
+    assert(big.as[(String, String, Double)].collect().toSet ===
+      Set(("a", "b", 1.0), ("b", "a", 0.5), ("b", "c", 0.5)))
+    val docs = Seq((1L, "a b a b c"), (2L, "z a"), (3L, "a")).toDF("doc_id", "text")
+    val got = LmScore.scoreInterpolated(docs, uni, big, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fl = LmScore.FloorProb
+    // doc1: ln(.4) + ln(.75·1+.25·.4) + ln(.75·.5+.25·.4) + ln(.85) + ln(.75·.5+.25·.2)
+    val d1 = (math.log(0.4) + 2 * math.log(0.85) + math.log(0.475) +
+      math.log(0.425)) / 5
+    assert(got(1L) === ((5L, r6(d1))))
+    // doc2: first token OOV → floor; bigram (z,a) unseen → unigram leg only
+    val d2 = (math.log(fl) + math.log(0.25 * 0.4)) / 2
+    assert(got(2L) === ((2L, r6(d2))))
+    // doc3: single token — no bigram positions at all
+    assert(got(3L) === ((1L, r6(math.log(0.4)))))
+  }
+
   test("LM score: all-whitespace doc yields no row; higher-quality doc scores higher") {
     val ref = Seq((1L, "the cat sat on the mat the cat")).toDF("doc_id", "text")
     val model = LmScore.train(ref, "text", minCount = 2L)
