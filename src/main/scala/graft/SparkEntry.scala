@@ -556,6 +556,13 @@ object SparkEntry {
       // chunking in ONE projection — only (id, chunk, md5) hashes reach
       // the exchange
       Dedup.cdcDedup(t(s, d, "documents"), "doc_id", "text", avgWords = 32)),
+    "q_train_shuffle" -> ((s, d) =>
+      // deterministic training-order shuffle: seeded-md5 global permutation
+      // rank via the two-phase distributed rank (range partition →
+      // per-partition row_number + broadcast count bases) — never
+      // row_number over a global window's single reducer
+      graft.datapipe.Packing.shuffleOrder(
+        t(s, d, "documents"), "doc_id", seed = 42L)),
     "q_lm_bigram" -> ((s, d) => {
       // interpolated bigram LM score: 0.75·P(w|prev) + 0.25·unigram
       // backoff, OOV floor as a shared decimal literal; context totals
@@ -1020,6 +1027,10 @@ object SparkEntry {
         "min(doc_id * 1000000 + chunk_id) // 1000000 AS keep_doc, " +
         "min(doc_id * 1000000 + chunk_id) % 1000000 AS keep_chunk, " +
         "CAST(min(n_words) AS BIGINT) AS n_words FROM g GROUP BY 1"),
+    "q_train_shuffle" ->
+      ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
+        "('0x' || substr(md5('42#' || doc_id), 1, 15))::BIGINT, doc_id) - 1 " +
+        "AS BIGINT) AS shuffle_pos FROM documents"),
     "q_lm_bigram" ->
       ("WITH tok0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l0 FROM documents), " +
         "tkf AS (SELECT doc_id, list_filter(l0, x -> len(x) > 0) AS tk FROM tok0), " +

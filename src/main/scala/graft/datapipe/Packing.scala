@@ -161,6 +161,50 @@ object Packing {
           .as("n_seqs"))
   }
 
+  /** Deterministic training-order shuffle: a seeded pseudorandom GLOBAL
+    * permutation rank for every row — the order training examples are
+    * served in. Every epoch's shuffle must be reproducible (restarts,
+    * data-parallel workers agreeing on the order), so the key is a hash
+    * of (seed, id), not randomness; changing the seed re-shuffles.
+    *
+    * The naive spelling `row_number().over(Window.orderBy(hash))` is an
+    * `Exchange SinglePartition` — the whole corpus ranked on one reducer.
+    * This is the SAME two-phase distributed rank as [[packIndex]]'s prefix
+    * sum, with row counts instead of token sums: range-partition on the
+    * hash key, collect P per-partition counts, per-partition row_number
+    * (P-way parallel) + broadcast exclusive-count bases. The hash key is
+    * an md5 prefix (engine-reproducible, oracle-checkable), ties broken by
+    * id so the permutation is total. */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long = 42L,
+                   parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p =
+      if (parts > 0) parts
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // persist the narrow (id, key) projection BEFORE the range exchange —
+    // repartitionByRange samples its child (the packIndex lesson)
+    val keyed = df
+      .select(col(idCol),
+        conv(substring(md5(concat_ws("#", lit(seed), col(idCol))), 1, 15),
+          16, 10).cast("long").as("sk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val parted = keyed
+      .repartitionByRange(p, col("sk"), col(idCol))
+      .withColumn("pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pcounts = parted.groupBy("pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val exclusive = pcounts.map(_._2).scanLeft(0L)(_ + _)
+    val baseDf = spark.createDataFrame(
+      pcounts.map(_._1).zip(exclusive).toSeq).toDF("pid", "base")
+    val w = Window.partitionBy("pid").orderBy(col("sk"), col(idCol))
+    parted
+      .join(broadcast(baseDf), "pid")
+      .select(col(idCol),
+        (row_number().over(w).cast("long") - 1 + col("base"))
+          .as("shuffle_pos"))
+  }
+
   /** Per-sequence fill report: how many documents touch each training
     * sequence and how many of its token slots they fill (== seqLen for
     * every sequence except the final partial one). The doc→sequence

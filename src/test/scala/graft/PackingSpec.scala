@@ -59,6 +59,36 @@ class PackingSpec extends AnyFunSuite {
       s"global-window fallback detected:\n$plan")
   }
 
+  test("shuffleOrder: a seeded total permutation, partition-invariant, no single reducer") {
+    val ids = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = Packing.shuffleOrder(ids, "doc_id", seed = 42L, parts = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // a total permutation: positions are exactly 0..n-1
+    assert(a.map(_._2).sorted === (0L until 300L))
+    // deterministic under a different partition count AND input layout
+    val b = Packing.shuffleOrder(ids.repartition(7), "doc_id",
+        seed = 42L, parts = 5)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    // the sequential reference: rank by (md5-prefix key, id)
+    def key(id: Long) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42#$id".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 15), 16)
+    val want = (0L until 300L).sortBy(i => (key(i), i))
+      .zipWithIndex.map { case (id, p) => (id, p.toLong) }.sortBy(_._1)
+    assert(a === want)
+    // a different seed is a different permutation
+    val c = Packing.shuffleOrder(ids, "doc_id", seed = 7L, parts = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(c !== a)
+    // never a global-window single reducer
+    val plan = Packing.shuffleOrder(ids, "doc_id", seed = 42L, parts = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-rank fallback detected:\n$plan")
+  }
+
   test("packIncremental: two daily batches == one-shot packing of the union") {
     val root = java.nio.file.Files.createTempDirectory("graft-packinc").toString
     val io = new graft.core.TableIO(spark, root)

@@ -224,6 +224,17 @@ class PlanSpec extends AnyFunSuite {
       s"no two-phase word-count aggregate before the model join:\n$p")
   }
 
+  test("bigram LM: one corpus tokenization feeds both models; no window, no product") {
+    val df = SparkEntry.queries("q_lm_bigram")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"bigram LM uses a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"bigram LM degenerated to a product join:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"no two-phase bigram-count aggregate before the model joins:\n$p")
+  }
+
   test("exact-dedup hot path stays inside whole-stage codegen") {
     // fingerprint (trim/regexp_replace/lower/md5) + two-phase HashAggregate
     // must all live in codegen stages ("*(n)" spans); lambda higher-order
