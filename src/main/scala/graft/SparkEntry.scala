@@ -556,6 +556,16 @@ object SparkEntry {
       // chunking in ONE projection — only (id, chunk, md5) hashes reach
       // the exchange
       Dedup.cdcDedup(t(s, d, "documents"), "doc_id", "text", avgWords = 32)),
+    "q_hot_keys" -> ((s, d) =>
+      // skew diagnostic: top-10 hottest event users + corpus share —
+      // two-phase count + TakeOrderedAndProject, never a full global sort
+      graft.datapipe.Profile.hotKeys(t(s, d, "events"), "user_id", k = 10)),
+    "q_profile" -> ((s, d) =>
+      // per-column null/distinct profile of documents in one unpivot +
+      // one aggregate keyed by column name (exact distincts here —
+      // approx_count_distinct is the lake-scale swap, same plan shape)
+      graft.datapipe.Profile.columnProfile(t(s, d, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     "q_train_shuffle" -> ((s, d) =>
       // deterministic training-order shuffle: seeded-md5 global permutation
       // rank via the two-phase distributed rank (range partition →
@@ -1027,6 +1037,20 @@ object SparkEntry {
         "min(doc_id * 1000000 + chunk_id) // 1000000 AS keep_doc, " +
         "min(doc_id * 1000000 + chunk_id) % 1000000 AS keep_chunk, " +
         "CAST(min(n_words) AS BIGINT) AS n_words FROM g GROUP BY 1"),
+    "q_hot_keys" ->
+      ("SELECT user_id AS key, count(*) AS n, " +
+        "round(count(*) / (SELECT count(*) FROM events), 6) AS share " +
+        "FROM events GROUP BY 1 ORDER BY n DESC, key LIMIT 10"),
+    "q_profile" ->
+      ("WITH u AS (" +
+        "SELECT 'doc_id' AS col_name, doc_id::VARCHAR AS v FROM documents " +
+        "UNION ALL SELECT 'text', text FROM documents " +
+        "UNION ALL SELECT 'lang', lang FROM documents " +
+        "UNION ALL SELECT 'source', source FROM documents " +
+        "UNION ALL SELECT 'n_chars', n_chars::VARCHAR FROM documents) " +
+        "SELECT col_name, count(*) AS n_rows, " +
+        "CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null, " +
+        "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct FROM u GROUP BY 1"),
     "q_train_shuffle" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
         "('0x' || substr(md5('42#' || doc_id), 1, 15))::BIGINT, doc_id) - 1 " +

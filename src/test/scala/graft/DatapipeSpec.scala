@@ -739,6 +739,29 @@ class DatapipeSpec extends AnyFunSuite {
     assert(got(3L) === ((2L, -12.0)))                       // all-OOV doc
   }
 
+  test("hot-key report: exact counts, deterministic tie-break, top-k plan") {
+    import graft.datapipe.Profile
+    val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(3L) ++ Seq.fill(3)(2L) ++ Seq(4L))
+      .map(k => (k, "x")).toDF("k", "v")
+    val got = Profile.hotKeys(df, "k", 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 5L, 0.416667), (2L, 3L, 0.25), (3L, 3L, 0.25)))
+    val plan = Profile.hotKeys(df, "k", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a full global sort:\n$plan")
+  }
+
+  test("column profile: null and distinct counts per column, long form") {
+    import graft.datapipe.Profile
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("a")))
+      .toDF("id", "s")
+    val got = Profile.columnProfile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("id") === (("id", 3L, 0L, 3L)))
+    assert(got("s") === (("s", 3L, 1L, 1L)))
+  }
+
   test("interpolated bigram LM matches a hand-computed model") {
     // corpus "a b a b c": p1(a)=p1(b)=0.4, p1(c)=0.2;
     // pc(a,b)=1, pc(b,a)=0.5, pc(b,c)=0.5 (contexts a=2, b=2)
