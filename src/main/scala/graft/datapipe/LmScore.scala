@@ -31,14 +31,21 @@ object LmScore {
     * ALL words (including pruned ones), keeping the retained probabilities
     * proper. The total is a scalar aggregate (driver-side single value). */
   def train(ref: DataFrame, textCol: String, minCount: Long = 3L): DataFrame = {
-    val cnt = ref
-      .select(explode(TextStats.tokens(col(textCol))).as("w"))
-      .where(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("c"))
+    val cnt = wordCounts(ref, textCol)
     val total = cnt.agg(sum("c")).first().getLong(0).toDouble
     cnt.where(col("c") >= minCount)
       .select(col("w"), log(col("c").cast("double") / total).as("logp"))
   }
+
+  /** Vocab-sized word-count aggregate, persisted: the scalar-total action
+    * and the downstream model consumption must NOT each re-tokenize the
+    * reference corpus — the cache pins ONE corpus pass. */
+  private def wordCounts(ref: DataFrame, textCol: String): DataFrame =
+    ref
+      .select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** e^-12 as a fixed decimal literal: the SAME string parses to the SAME
     * double in the engine and the oracle, where a runtime `exp(-12)` could
@@ -49,10 +56,7 @@ object LmScore {
     * p1 = c/total for words with count >= minCount. Same pruning-by-filter
     * shape as [[train]]. */
   def trainProbs(ref: DataFrame, textCol: String, minCount: Long = 3L): DataFrame = {
-    val cnt = ref
-      .select(explode(TextStats.tokens(col(textCol))).as("w"))
-      .where(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("c"))
+    val cnt = wordCounts(ref, textCol)
     val total = cnt.agg(sum("c")).first().getLong(0).toDouble
     cnt.where(col("c") >= minCount)
       .select(col("w"), (col("c").cast("double") / total).as("p1"))

@@ -16,8 +16,11 @@ object Profile {
     * broken by key so the report is deterministic. The total is a scalar
     * aggregate over the already-reduced counts. */
   def hotKeys(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    // persist the reduced counts: the scalar-total action and the top-k
+    // pass must not each re-scan the corpus
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum("n")).first().getLong(0).toDouble
     counts
       .orderBy(col("n").desc, col("key"))
