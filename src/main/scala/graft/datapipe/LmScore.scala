@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   *    broadcast the model side outright when it fits.
   *  - out-of-vocabulary words get a fixed floor log-prob instead of being
   *    dropped, so gibberish is penalized rather than ignored.
+  *  - the unigram and bigram trainers each scan the reference once rather
+  *    than sharing a cached tokenized projection: the token arrays are
+  *    CORPUS-sized, and persisting them at 100 TB means writing the lake
+  *    to executor disks — strictly worse than a second columnar scan.
+  *    What IS cached is every vocab-sized reduction (word counts, bigram
+  *    counts) — the packIndex rule: persist narrow aggregates, re-scan
+  *    wide sources.
   */
 object LmScore {
 
