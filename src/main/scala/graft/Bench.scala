@@ -40,7 +40,8 @@ object Bench {
     "q_boilerplate_scrub", "q_quality_quantiles", "q_quality_topp",
     "q_dedup_keep_best", "q_mix_rebalance", "q_pack_index", "q_pack_stats",
     "q_shard_audit", "q_cdc_dedup", "q_lm_score", "q_dup_span_scrub",
-    "q_lm_bigram", "q_train_shuffle", "q_hot_keys", "q_profile")
+    "q_lm_bigram", "q_train_shuffle", "q_hot_keys", "q_profile",
+    "q_char_entropy")
 
   private def session(master: String, parts: Int): SparkSession = {
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath

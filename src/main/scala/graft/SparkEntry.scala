@@ -556,6 +556,11 @@ object SparkEntry {
       // chunking in ONE projection — only (id, chunk, md5) hashes reach
       // the exchange
       Dedup.cdcDedup(t(s, d, "documents"), "doc_id", "text", avgWords = 32)),
+    "q_char_entropy" -> ((s, d) =>
+      // information-theoretic junk signal: per-doc char Shannon entropy,
+      // one two-phase (doc, char) aggregate — alphabet-bounded exchange
+      graft.datapipe.TextStats.charEntropy(
+        t(s, d, "documents"), "doc_id", "text")),
     "q_hot_keys" -> ((s, d) =>
       // skew diagnostic: top-10 hottest event users + corpus share —
       // two-phase count + TakeOrderedAndProject, never a full global sort
@@ -1037,6 +1042,13 @@ object SparkEntry {
         "min(doc_id * 1000000 + chunk_id) // 1000000 AS keep_doc, " +
         "min(doc_id * 1000000 + chunk_id) % 1000000 AS keep_chunk, " +
         "CAST(min(n_words) AS BIGINT) AS n_words FROM g GROUP BY 1"),
+    "q_char_entropy" ->
+      ("WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) > 0), " +
+        "c AS (SELECT doc_id, substr(text, i, 1) AS ch FROM t, unnest(generate_series(1, length(text))) AS u(i)), " +
+        "g AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY 1, 2) " +
+        "SELECT doc_id AS id, CAST(sum(n) AS BIGINT) AS n_chars, " +
+        "round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS char_entropy " +
+        "FROM g GROUP BY 1"),
     "q_hot_keys" ->
       ("SELECT user_id AS key, count(*) AS n, " +
         "round(count(*) / (SELECT count(*) FROM events), 6) AS share " +

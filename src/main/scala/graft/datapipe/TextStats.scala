@@ -154,6 +154,27 @@ object TextStats {
           .as("dup_ngram_coverage"))
   }
 
+  /** Character-level Shannon entropy per document — the
+    * information-theoretic junk detector: binary-ish blobs and
+    * single-character floods sit far below natural text (~4.1 bits/char
+    * for English; this returns nats). Computed as ln(T) − Σ n·ln(n) / T
+    * over the per-char counts, so one two-phase (doc, char) aggregate is
+    * the only shuffle — map-side partials collapse each partition's
+    * per-doc counts to alphabet size before the exchange. Empty docs have
+    * no characters and produce no row. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("tx"))
+      .where(length(col("tx")) > 0)
+      .select(col("id"), col("tx"),
+        explode(sequence(lit(1), length(col("tx")))).as("i"))
+      .select(col("id"), col("tx").substr(col("i"), lit(1)).as("ch"))
+      .groupBy("id", "ch").agg(count(lit(1)).as("n"))
+      .groupBy("id")
+      .agg(sum("n").as("n_chars"),
+        round(log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n"), 6)
+          .as("char_entropy"))
+
   /** CROSS-document duplicate-span removal — the rewrite complement of
     * [[dupNgramCoverage]] and the distributed shape of exact-substring
     * training-data dedup (Lee et al. 2022: duplicated spans are removed

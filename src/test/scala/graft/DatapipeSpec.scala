@@ -739,6 +739,18 @@ class DatapipeSpec extends AnyFunSuite {
     assert(got(3L) === ((2L, -12.0)))                       // all-OOV doc
   }
 
+  test("char entropy: uniform text = ln(alphabet), floods = 0, empty = no row") {
+    val df = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextStats.charEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((4L, r6(math.log(2)))))  // two symbols, even split
+    assert(got(2L) === ((4L, 0.0)))              // single-char flood
+    assert(got(3L) === ((4L, r6(math.log(4))))) // uniform over 4 symbols
+    assert(!got.contains(4L), "empty doc must produce no row")
+  }
+
   test("hot-key report: exact counts, deterministic tie-break, top-k plan") {
     import graft.datapipe.Profile
     val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(3L) ++ Seq.fill(3)(2L) ++ Seq(4L))
