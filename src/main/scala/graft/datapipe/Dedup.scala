@@ -612,18 +612,20 @@ object Dedup {
 
   /** First-occurrence dedup over the content-defined chunks: one row per
     * distinct chunk hash with its copy count and the (doc, chunk) that
-    * keeps it — min over the packed (doc·10^6 + chunk) key, a plain
-    * two-phase aggregate (partial agg absorbs hot boilerplate hashes
-    * map-side; no window, no sort group). */
+    * keeps it — min over struct(doc, chunk) (lexicographic, same pattern
+    * as chunkDedup/scrubDuplicateSpans; no arithmetic packing, so no
+    * overflow however many chunks a pathological document produces), a
+    * plain two-phase aggregate (partial agg absorbs hot boilerplate
+    * hashes map-side; no window, no sort group). */
   def cdcDedup(docs: DataFrame, idCol: String, textCol: String,
                avgWords: Int = 32): DataFrame =
     cdcChunks(docs, idCol, textCol, avgWords)
       .groupBy("h")
       .agg(count(lit(1)).as("n_copies"),
-        min(col(idCol) * 1000000L + col("chunk_id")).as("k"),
+        min(struct(col(idCol), col("chunk_id"))).as("k"),
         min("n_words").as("n_words"))
       .select(col("h"), col("n_copies"),
-        expr("k div 1000000").as("keep_doc"),
-        pmod(col("k"), lit(1000000L)).as("keep_chunk"),
+        col("k").getField(idCol).as("keep_doc"),
+        col("k").getField("chunk_id").as("keep_chunk"),
         col("n_words"))
 }

@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
   *    to executor disks — strictly worse than a second columnar scan.
   *    What IS cached is every vocab-sized reduction (word counts, bigram
   *    counts) — the packIndex rule: persist narrow aggregates, re-scan
-  *    wide sources.
+  *    wide sources — and each trainer releases its cache before returning
+  *    (the trained model is materialized via localCheckpoint while the
+  *    count cache is hot), so repeated training never grows storage memory.
   */
 object LmScore {
 
@@ -37,22 +39,31 @@ object LmScore {
     * `count >= minCount`, `logp = ln(count / total)` where `total` counts
     * ALL words (including pruned ones), keeping the retained probabilities
     * proper. The total is a scalar aggregate (driver-side single value). */
-  def train(ref: DataFrame, textCol: String, minCount: Long = 3L): DataFrame = {
-    val cnt = wordCounts(ref, textCol)
-    val total = cnt.agg(sum("c")).first().getLong(0).toDouble
-    cnt.where(col("c") >= minCount)
-      .select(col("w"), log(col("c").cast("double") / total).as("logp"))
-  }
+  def train(ref: DataFrame, textCol: String, minCount: Long = 3L): DataFrame =
+    withWordCounts(ref, textCol) { (cnt, total) =>
+      cnt.where(col("c") >= minCount)
+        .select(col("w"), log(col("c").cast("double") / total).as("logp"))
+    }
 
-  /** Vocab-sized word-count aggregate, persisted: the scalar-total action
-    * and the downstream model consumption must NOT each re-tokenize the
-    * reference corpus — the cache pins ONE corpus pass. */
-  private def wordCounts(ref: DataFrame, textCol: String): DataFrame =
-    ref
+  /** One corpus tokenization per trainer call, zero retained cache
+    * entries afterwards: the vocab-sized word-count aggregate is persisted
+    * only for the span between the scalar-total action and the model
+    * projection's materialization (a localCheckpoint of the PRUNED model —
+    * ~10^6 rows, executor-local blocks the ContextCleaner reclaims on GC),
+    * then unpersisted. Before this, every train/trainProbs call leaked one
+    * vocab-sized CacheManager entry for the session's lifetime. */
+  private def withWordCounts(ref: DataFrame, textCol: String)
+                            (build: (DataFrame, Double) => DataFrame): DataFrame = {
+    val cnt = ref
       .select(explode(TextStats.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = cnt.agg(sum("c")).first().getLong(0).toDouble
+      build(cnt, total).localCheckpoint()
+    } finally cnt.unpersist(blocking = false)
+  }
 
   /** e^-12 as a fixed decimal literal: the SAME string parses to the SAME
     * double in the engine and the oracle, where a runtime `exp(-12)` could
@@ -62,12 +73,11 @@ object LmScore {
   /** Unigram model in PROBABILITY space (for interpolation): (w, p1) with
     * p1 = c/total for words with count >= minCount. Same pruning-by-filter
     * shape as [[train]]. */
-  def trainProbs(ref: DataFrame, textCol: String, minCount: Long = 3L): DataFrame = {
-    val cnt = wordCounts(ref, textCol)
-    val total = cnt.agg(sum("c")).first().getLong(0).toDouble
-    cnt.where(col("c") >= minCount)
-      .select(col("w"), (col("c").cast("double") / total).as("p1"))
-  }
+  def trainProbs(ref: DataFrame, textCol: String, minCount: Long = 3L): DataFrame =
+    withWordCounts(ref, textCol) { (cnt, total) =>
+      cnt.where(col("c") >= minCount)
+        .select(col("w"), (col("c").cast("double") / total).as("p1"))
+    }
 
   /** Bigram model: (w1, w2, pc) with pc = c(w1,w2) / c(w1-as-context),
     * pruned to bigrams with count >= minCount. The context totals are

@@ -46,6 +46,27 @@ object Packing {
   def packIndex(docs: DataFrame, idCol: String, textCol: String,
                 seqLen: Long, parts: Int = 0,
                 baseOffset: Long = 0L): DataFrame = {
+    val (idx, caches) =
+      packIndexCached(docs, idCol, textCol, seqLen, parts, baseOffset)
+    // Materialize the ~48-byte/doc index into executor-local blocks
+    // (GC-reclaimed by the ContextCleaner, unlike CacheManager entries),
+    // then release the phase caches. Without this, every call pins a
+    // range-partitioned cache for the life of the session — the streaming
+    // micro-batch leak ADVICE flagged. The checkpoint also truncates the
+    // lineage, so downstream consumers never re-trigger the corpus scan.
+    val out = idx.localCheckpoint()
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Internal two-phase prefix sum; returns the lazily-planned index plus
+    * the cache(s) the plan still depends on, so callers that materialize
+    * the result themselves (e.g. [[packIncremental]]'s snapshot commit)
+    * can unpersist without paying [[packIndex]]'s localCheckpoint. */
+  private def packIndexCached(
+      docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, parts: Int,
+      baseOffset: Long): (DataFrame, Seq[DataFrame]) = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(baseOffset >= 0, s"baseOffset must be >= 0, got $baseOffset")
     val spark = docs.sparkSession
@@ -70,9 +91,14 @@ object Packing {
       .withColumn("pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // phase 1: one row per partition → driver-side exclusive prefix sum
+    // phase 1: one row per partition → driver-side exclusive prefix sum.
+    // This collect fully materializes `toks`; `narrow`'s cache has served
+    // its one purpose (the range sampler's extra pass) and can go now — a
+    // lost `toks` block recomputes through the shuffle files, not through
+    // `narrow`.
     val ptotals = toks.groupBy("pid").agg(sum("n_tokens").as("ptoks"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    narrow.unpersist(blocking = false)
     val exclusive = ptotals.map(_._2).scanLeft(0L)(_ + _)
     val baseDf = spark.createDataFrame(
       ptotals.map(_._1).zip(exclusive).toSeq).toDF("pid", "base")
@@ -80,7 +106,7 @@ object Packing {
     // phase 2: per-partition cumsum (P-way parallel) + broadcast bases
     val w = Window.partitionBy("pid").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks
+    val idx = toks
       .join(broadcast(baseDf), "pid")
       .withColumn("start_offset",
         coalesce(sum("n_tokens").over(w), lit(0L)) + col("base") +
@@ -91,6 +117,7 @@ object Packing {
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
       .select(idCol, "n_tokens", "start_offset", "seq_first", "seq_last",
         "n_seqs")
+    (idx, Seq(toks))
   }
 
   /** Incremental packing — the daily-crawl shape. Each batch packs only
@@ -112,14 +139,20 @@ object Packing {
       case Some(h) => docs.where(col(idCol) > h)
       case None    => docs
     }
-    val idx = packIndex(fresh, idCol, textCol, seqLen, parts,
-      baseOffset = tokHwm)
-    val agg = idx.agg(max(col(idCol)).cast("long"), sum("n_tokens"))
-      .collect()(0)
-    if (!agg.isNullAt(0))
-      io.commit(stage, idx, counters = Map(
-        "id_high_water_mark" -> agg.getLong(0),
-        "token_high_water_mark" -> (tokHwm + agg.getLong(1))))
+    // packIndexCached, not packIndex: the snapshot commit below is the
+    // materialization, so the localCheckpoint would be a wasted copy. The
+    // finally-unpersist is what keeps a long-running stream's storage
+    // memory flat — one micro-batch, zero retained cache entries.
+    val (idx, caches) = packIndexCached(fresh, idCol, textCol, seqLen,
+      parts, baseOffset = tokHwm)
+    try {
+      val agg = idx.agg(max(col(idCol)).cast("long"), sum("n_tokens"))
+        .collect()(0)
+      if (!agg.isNullAt(0))
+        io.commit(stage, idx, counters = Map(
+          "id_high_water_mark" -> agg.getLong(0),
+          "token_high_water_mark" -> (tokHwm + agg.getLong(1))))
+    } finally caches.foreach(_.unpersist(blocking = false))
     io.readAll(stage)
   }
 
@@ -192,17 +225,26 @@ object Packing {
       .repartitionByRange(p, col("sk"), col(idCol))
       .withColumn("pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the collect materializes `parted`; release `keyed` immediately
+    // (recompute of a lost `parted` block refetches shuffle files)
     val pcounts = parted.groupBy("pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    keyed.unpersist(blocking = false)
     val exclusive = pcounts.map(_._2).scanLeft(0L)(_ + _)
     val baseDf = spark.createDataFrame(
       pcounts.map(_._1).zip(exclusive).toSeq).toDF("pid", "base")
     val w = Window.partitionBy("pid").orderBy(col("sk"), col(idCol))
-    parted
+    // localCheckpoint the 16-byte/row permutation so `parted`'s cache can
+    // be dropped too — repeated calls (an epoch-per-seed training loop)
+    // must not each pin a corpus-width cache for the session's lifetime
+    val out = parted
       .join(broadcast(baseDf), "pid")
       .select(col(idCol),
         (row_number().over(w).cast("long") - 1 + col("base"))
           .as("shuffle_pos"))
+      .localCheckpoint()
+    parted.unpersist(blocking = false)
+    out
   }
 
   /** Per-sequence fill report: how many documents touch each training

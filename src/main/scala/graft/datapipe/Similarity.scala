@@ -170,7 +170,21 @@ object Similarity {
     *     csim values — so `QE(returned) ≤ QE(seed)` holds by construction
     *     even against round-to-6 wobble, not merely by descent argument. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     k: Int, iters: Int = 5): DataFrame = {
+                     k: Int, iters: Int = 5): DataFrame =
+    trainCentroidsAudited(corpus, idCol, vecCol, k, iters).centroids
+
+  /** [[trainCentroids]] result plus the QE audit the training loop already
+    * paid for: the seed layout's exact-decimal QE sum (iteration 0's
+    * assignment) and the returned (best) iterate's QE sum. Callers gating
+    * on `trained_qe ≤ seed_qe` read these instead of re-running two full
+    * corpus assignment passes — at 100 TB each avoided pass is a complete
+    * corpus × centroid-broadcast scan. */
+  case class TrainedIndex(centroids: DataFrame,
+                          seedQe: java.math.BigDecimal,
+                          bestQe: java.math.BigDecimal)
+
+  def trainCentroidsAudited(corpus: DataFrame, idCol: String, vecCol: String,
+                            k: Int, iters: Int = 5): TrainedIndex = {
     val data = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint()
     var cent = data.orderBy("id").limit(k)
@@ -184,9 +198,11 @@ object Similarity {
         .collect()(0).getDecimal(0)
     var best = cent
     var bestQe: java.math.BigDecimal = null
+    var seedQe: java.math.BigDecimal = null
     (0 until iters).foreach { _ =>
       val cells = assignCells(data, cent).localCheckpoint()
       val qe = qeOf(cells) // QE of the CURRENT layout, off the same assignment
+      if (seedQe == null) seedQe = qe // iteration 0 IS the seed layout
       if (bestQe == null || qe.compareTo(bestQe) < 0) { bestQe = qe; best = cent }
       val nrm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
       val means = cells
@@ -201,8 +217,9 @@ object Similarity {
         .localCheckpoint()
     }
     val lastQe = qeOf(assignCells(data, cent))
-    if (bestQe == null || lastQe.compareTo(bestQe) < 0) best = cent
-    best
+    if (seedQe == null) seedQe = lastQe // iters = 0: the seed is the only iterate
+    if (bestQe == null || lastQe.compareTo(bestQe) < 0) { bestQe = lastQe; best = cent }
+    TrainedIndex(best, seedQe, bestQe)
   }
 
   /** Mean quantization error of a centroid layout: avg(1 − cos(v, nearest

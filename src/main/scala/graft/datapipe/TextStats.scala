@@ -161,19 +161,32 @@ object TextStats {
     * over the per-char counts, so one two-phase (doc, char) aggregate is
     * the only shuffle — map-side partials collapse each partition's
     * per-doc counts to alphabet size before the exchange. Empty docs have
-    * no characters and produce no row. */
-  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * no characters and produce no row.
+    *
+    * Per-row memory is BOUNDED: the char walk goes through fixed 4 KB
+    * chunks (an outer explode over ceil(len/4096) chunk ids, an inner
+    * explode over ≤ 4096 positions), never a doc-length integer array —
+    * a single pathological tens-of-MB document must not be able to OOM an
+    * executor task when the exchange itself is alphabet-bounded. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chunk = 4096
     docs
       .select(col(idCol).as("id"), col(textCol).as("tx"))
       .where(length(col("tx")) > 0)
       .select(col("id"), col("tx"),
-        explode(sequence(lit(1), length(col("tx")))).as("i"))
-      .select(col("id"), col("tx").substr(col("i"), lit(1)).as("ch"))
+        explode(sequence(lit(0),
+          floor((length(col("tx")) - 1) / chunk).cast("int"))).as("k"))
+      .select(col("id"),
+        col("tx").substr(col("k") * chunk + 1, lit(chunk)).as("ck"))
+      .select(col("id"), col("ck"),
+        explode(sequence(lit(1), length(col("ck")))).as("i"))
+      .select(col("id"), col("ck").substr(col("i"), lit(1)).as("ch"))
       .groupBy("id", "ch").agg(count(lit(1)).as("n"))
       .groupBy("id")
       .agg(sum("n").as("n_chars"),
         round(log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n"), 6)
           .as("char_entropy"))
+  }
 
   /** CROSS-document duplicate-span removal — the rewrite complement of
     * [[dupNgramCoverage]] and the distributed shape of exact-substring
