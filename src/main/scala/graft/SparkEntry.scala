@@ -469,6 +469,29 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 400),
         docs.filter(col("doc_id") < 400), "doc_id", "text")
     }),
+    "q_fuzzy_incremental" -> ((s, d) => {
+      // incremental FUZZY dedup over a committed bucketed signature store —
+      // the daily-crawl shape for the LSH scrub: batch 0 (doc_id < 400)
+      // seeds the store, batch 1 (doc_id ≥ 400) computes signatures only
+      // for its own docs and screens them against the committed bands
+      // (estimate ≥ 0.7 → drop), then near-dup-clusters within itself.
+      // HERMETIC like q_bucketed_join: fresh warehouse dir per run,
+      // reaped parent. Store reads are bucket-in-place (DatapipeSpec pin).
+      s.sql("DROP DATABASE IF EXISTS graft_fz CASCADE")
+      val wh = freshRunDir("fz-wh")
+      java.nio.file.Files.delete(wh) // CREATE DATABASE owns (and creates) it
+      s.sql(s"CREATE DATABASE graft_fz LOCATION '${wh.toString}'")
+      val spec = Bucketing.BucketSpec("skey", 8)
+      val docs = t(s, d, "documents")
+      val s1 = Dedup.incrementalFuzzyCommit(
+        docs.filter(col("doc_id") < 400), "doc_id", "text",
+        "graft_fz.fuzzy_sigs", spec)
+      val s2 = Dedup.incrementalFuzzyCommit(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text",
+        "graft_fz.fuzzy_sigs", spec)
+      s1.select(lit(0L).as("epoch"), col("id").as("doc_id"))
+        .unionAll(s2.select(lit(1L).as("epoch"), col("id").as("doc_id")))
+    }),
     "q_dedup_incremental_stream" -> ((s, d) => {
       // the STREAM path of incremental dedup (StreamingDedup: foreachBatch
       // → fp-reduce → anti-join committed keys → epoch-append), surfaced to
@@ -980,6 +1003,56 @@ object SparkEntry {
         "k AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 400), " +
         "b AS (SELECT fp, min(doc_id) AS id FROM fp WHERE doc_id >= 400 GROUP BY 1) " +
         "SELECT b.id, b.fp FROM b WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.fp = b.fp)"),
+    // fuzzy incremental: batch 0 near-dup-clusters itself (estimate >= 0.7,
+    // transitive closure, min id survives), its survivors' band/sig rows
+    // form the store; batch 1 drops docs whose signature estimate vs any
+    // stored survivor sharing a guarded band bucket clears the threshold,
+    // then clusters within itself. Guards at 64 per (band, key) on every
+    // side, mirroring the engine exactly.
+    "q_fuzzy_incremental" ->
+      (lshBaseCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", bk1 AS (SELECT * FROM bk WHERE doc_id < 400)" +
+        ", ok1 AS (SELECT band, key FROM bk1 GROUP BY 1, 2 HAVING count(*) <= 64)" +
+        ", cand1 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM bk1 a JOIN ok1 USING (band, key) " +
+        "JOIN bk1 b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)" +
+        ", vp1 AS (SELECT c.id1, c.id2 FROM cand1 c " +
+        "JOIN sg sa ON sa.doc_id = c.id1 JOIN sg sb ON sb.doc_id = c.id2 AND sa.hi = sb.hi " +
+        "GROUP BY 1, 2 HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 >= 0.7)" +
+        ", sym1 AS (SELECT id1 AS src, id2 AS dst FROM vp1 UNION SELECT id2, id1 FROM vp1)" +
+        ", reach1 AS (SELECT src AS id, src AS r FROM sym1 " +
+        "UNION SELECT reach1.id, s.dst FROM reach1 JOIN sym1 s ON s.src = reach1.r)" +
+        ", drop1 AS (SELECT id FROM (SELECT id, min(r) AS keep FROM reach1 GROUP BY 1) WHERE keep <> id)" +
+        ", s1 AS (SELECT DISTINCT doc_id FROM bk1 WHERE doc_id NOT IN (SELECT id FROM drop1))" +
+        ", store1 AS (SELECT doc_id, md5(CAST(band AS VARCHAR) || '|' || key) AS skey " +
+        "FROM bk WHERE doc_id IN (SELECT doc_id FROM s1))" +
+        ", oks AS (SELECT skey FROM store1 GROUP BY 1 HAVING count(*) <= 64)" +
+        ", bk2 AS (SELECT * FROM bk WHERE doc_id >= 400)" +
+        ", ks2 AS (SELECT doc_id, md5(CAST(band AS VARCHAR) || '|' || key) AS skey FROM bk2)" +
+        ", okb AS (SELECT skey FROM ks2 GROUP BY 1 HAVING count(*) <= 64)" +
+        ", candx AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid " +
+        "FROM ks2 n JOIN okb ON n.skey = okb.skey " +
+        "JOIN store1 o ON n.skey = o.skey " +
+        "JOIN oks ON o.skey = oks.skey)" +
+        ", hit AS (SELECT DISTINCT nid FROM (SELECT c.nid, c.oid FROM candx c " +
+        "JOIN sg sa ON sa.doc_id = c.nid JOIN sg sb ON sb.doc_id = c.oid AND sa.hi = sb.hi " +
+        "GROUP BY 1, 2 HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 >= 0.7))" +
+        ", fresh2 AS (SELECT DISTINCT doc_id FROM bk2 WHERE doc_id NOT IN (SELECT nid FROM hit))" +
+        ", bk2f AS (SELECT * FROM bk2 WHERE doc_id IN (SELECT doc_id FROM fresh2))" +
+        ", ok2 AS (SELECT band, key FROM bk2f GROUP BY 1, 2 HAVING count(*) <= 64)" +
+        ", cand2 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM bk2f a JOIN ok2 USING (band, key) " +
+        "JOIN bk2f b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)" +
+        ", vp2 AS (SELECT c.id1, c.id2 FROM cand2 c " +
+        "JOIN sg sa ON sa.doc_id = c.id1 JOIN sg sb ON sb.doc_id = c.id2 AND sa.hi = sb.hi " +
+        "GROUP BY 1, 2 HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 >= 0.7)" +
+        ", sym2 AS (SELECT id1 AS src, id2 AS dst FROM vp2 UNION SELECT id2, id1 FROM vp2)" +
+        ", reach2 AS (SELECT src AS id, src AS r FROM sym2 " +
+        "UNION SELECT reach2.id, s.dst FROM reach2 JOIN sym2 s ON s.src = reach2.r)" +
+        ", drop2 AS (SELECT id FROM (SELECT id, min(r) AS keep FROM reach2 GROUP BY 1) WHERE keep <> id)" +
+        ", s2 AS (SELECT doc_id FROM fresh2 WHERE doc_id NOT IN (SELECT id FROM drop2)) " +
+        "SELECT CAST(0 AS BIGINT) AS epoch, doc_id FROM s1 " +
+        "UNION ALL SELECT CAST(1 AS BIGINT) AS epoch, doc_id FROM s2"),
     // the stream path must land EXACTLY the batch twin's survivors in its
     // second epoch snapshot
     "q_dedup_incremental_stream" ->
@@ -1509,7 +1582,7 @@ object SparkEntry {
   /** md5-family LSH banding + bucket-size guard over `documents` — shared by
     * the q_lsh_candidates and q_jaccard_pairs oracles (mirrors
     * Dedup.lshBandsMd5 + lshCandidates(maxBucket = 64)). */
-  private def lshCtes: String =
+  private def lshBaseCtes: String =
     "WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents), " +
       "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 " +
       "THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')) " +
@@ -1520,8 +1593,11 @@ object SparkEntry {
       "FROM sh CROSS JOIN unnest(shingles) AS u(s) " +
       "CROSS JOIN unnest(generate_series(0, 7)) AS h(i) GROUP BY 1, 2), " +
       "bk AS (SELECT doc_id, CAST(hi // 2 AS INT) AS band, " +
-      "md5(string_agg(mh, '|' ORDER BY hi)) AS key FROM sg GROUP BY 1, 2), " +
-      "ok AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 64)"
+      "md5(string_agg(mh, '|' ORDER BY hi)) AS key FROM sg GROUP BY 1, 2)"
+
+  private def lshCtes: String =
+    lshBaseCtes +
+      ", ok AS (SELECT band, key FROM bk GROUP BY band, key HAVING count(*) <= 64)"
 
   private def lshCandidatesSql: String =
     lshCtes + " SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +

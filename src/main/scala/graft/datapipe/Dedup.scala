@@ -100,9 +100,17 @@ object Dedup {
   /** md5-family banding (same shape, string keys) — the band key is the md5
     * of the '|'-joined signature slice, so the whole chain is engine-portable. */
   def lshBandsMd5(docs: DataFrame, idCol: String, textCol: String,
-                  numHashes: Int = 8, bands: Int = 4, w: Int = 3): DataFrame = {
+                  numHashes: Int = 8, bands: Int = 4, w: Int = 3): DataFrame =
+    bandsOfSigs(minhashSigsMd5(docs, idCol, textCol, numHashes, w),
+      numHashes, bands)
+
+  /** Banding over already-computed (id, sig) md5-family signatures — the
+    * seam the incremental store path uses so one signature pass feeds
+    * banding, the cross-batch estimate, AND the store append. */
+  def bandsOfSigs(sigs: DataFrame, numHashes: Int = 8,
+                  bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    minhashSigsMd5(docs, idCol, textCol, numHashes, w)
+    sigs
       .select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows)))))))
@@ -203,6 +211,102 @@ object Dedup {
       .mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(spec.buckets, spec.key).sortBy(spec.key)
       .format("parquet").saveAsTable(keptTable)
+    survivors
+  }
+
+  /** Incremental FUZZY dedup over a committed signature store — the
+    * [[incrementalDedupCommit]] discipline applied to the LSH near-dup
+    * scrub, closing the last daily-crawl gap: without this, every day's
+    * batch re-pays the FULL corpus-side shingle/minhash scan
+    * ([[ScrubPipeline]]'s candidates stage); with it, signatures are
+    * computed only for the day's documents and every previously-kept
+    * document is represented by its already-committed (band, key, id, sig)
+    * rows, bucketed on the band `key`.
+    *
+    * Keep rule (deterministic, estimate-based end to end so the store
+    * never needs kept TEXT):
+    *   1. a batch doc is dropped if its signature-agreement estimate vs
+    *      ANY committed survivor sharing an LSH band bucket is ≥
+    *      `threshold` (the [[minhashEstimate]] statistic: agreeing slots /
+    *      numHashes — unbiased for true Jaccard, σ = sqrt(j(1−j)/H));
+    *   2. the remaining docs near-dup-cluster WITHIN the batch (band
+    *      candidates → estimate ≥ threshold → transitive closure) and only
+    *      each cluster's min id survives;
+    *   3. survivors' band/sig rows are bucket-appended to the store,
+    *      keeping tomorrow's layout contract.
+    *
+    * Scale shape: the committed side — every signature ever kept, growing
+    * daily, orders of magnitude wider than one batch — is NEVER
+    * re-shuffled. Store rows are keyed by ONE column,
+    * `skey = md5(band || '|' || band key)` (folding the band index into a
+    * single join key so the bucket layout and the join key coincide
+    * exactly — a two-column (band, key) join could legally re-shuffle the
+    * bucketed side under subset co-partitioning rules), and the table is
+    * bucketed on it: the per-bucket count guard AND the store's side of
+    * the candidate join both plan with zero store-side Exchange
+    * (plan-pinned in DatapipeSpec; run with `spark.sql.shuffle.partitions
+    * == spec.buckets` so the batch side lands partition-aligned). EVERY
+    * bucket is guarded per skey at `maxBucket` on BOTH sides — an
+    * over-cap bucket is boilerplate, not near-dup signal, exactly as in
+    * [[lshCandidates]] — so no hot band key can go quadratic against the
+    * accumulated store. Estimates touch only numHashes-slot signature
+    * arrays; document text never enters any exchange. */
+  def incrementalFuzzyCommit(batch: DataFrame, idCol: String, textCol: String,
+                             sigTable: String,
+                             spec: graft.core.Bucketing.BucketSpec,
+                             numHashes: Int = 8, bands: Int = 4, w: Int = 3,
+                             threshold: Double = 0.7,
+                             maxBucket: Int = 64): DataFrame = {
+    require(spec.key == "skey",
+      s"signature store must bucket on skey, got ${spec.key}")
+    val spark = batch.sparkSession
+    val sigs = minhashSigsMd5(batch, idCol, textCol, numHashes, w)
+      .localCheckpoint() // ONE signature pass feeds banding + both estimates
+    val bnd = bandsOfSigs(sigs, numHashes, bands).localCheckpoint()
+    val skeyed = bnd.select(col("id"),
+      md5(concat_ws("|", col("band").cast("string"), col("key"))).as("skey"))
+    val slotAgreement = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / numHashes
+    val fresh =
+      if (spark.catalog.tableExists(sigTable)) {
+        val store = spark.table(sigTable)
+        // both-side dense-bucket guards; the store-side count aggregate is
+        // exchange-free (grouping key IS the bucketing key)
+        val okStore = store.groupBy("skey")
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
+          .select("skey")
+        val okBatch = skeyed.groupBy("skey")
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
+          .select("skey")
+        val cand = skeyed.join(okBatch, Seq("skey"))
+          .join(store.join(okStore, Seq("skey"))
+            .select(col("skey"),
+              col("id").as("kept_id"), col("sig").as("kept_sig")),
+            Seq("skey"))
+          .select(col("id"), col("kept_id"), col("kept_sig"))
+          .distinct() // a pair colliding on several bands is one estimate
+        val hits = cand.join(sigs, Seq("id"))
+          .filter(slotAgreement(col("sig"), col("kept_sig")) >= threshold)
+          .select("id").distinct()
+        sigs.select("id").join(hits, Seq("id"), "left_anti")
+      } else sigs.select("id")
+    // within-batch closure among the store-clean docs
+    val verified = minhashEstimate(
+        lshCandidates(bnd.join(fresh, Seq("id"), "left_semi"), maxBucket),
+        sigs)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id1", "id2")
+    val dropped = dedupClusters(verified)
+      .filter(col("id") =!= col("keep_id")).select("id")
+    val survivors = fresh.join(dropped, Seq("id"), "left_anti")
+      .localCheckpoint() // pin BEFORE the store grows below
+    skeyed.join(survivors, Seq("id"), "left_semi")
+      .join(sigs, Seq("id"))
+      .select("skey", "id", "sig")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(spec.buckets, spec.key).sortBy(spec.key)
+      .format("parquet").saveAsTable(sigTable)
     survivors
   }
 

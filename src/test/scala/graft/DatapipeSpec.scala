@@ -694,6 +694,64 @@ class DatapipeSpec extends AnyFunSuite {
     }
   }
 
+  test("committed-store incremental FUZZY dedup: store screens near-dups, bucket-in-place reads") {
+    import graft.core.Bucketing.BucketSpec
+    val tbl = "fuzzy_committed_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val spec = BucketSpec("skey", 4)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val textC = "red orange yellow green blue indigo violet ultraviolet"
+    val day1 = Seq((1L, textA), (2L, textA), (3L, textB)).toDF("doc_id", "text")
+    val s1 = Dedup.incrementalFuzzyCommit(day1, "doc_id", "text", tbl, spec)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1 === Seq(1L, 3L)) // within-batch near-dup collapses to min id
+    assert(spark.table(tbl).count() === 8) // 2 survivors × 4 bands
+    val day2 = Seq((10L, textA), (11L, textC), (12L, textC))
+      .toDF("doc_id", "text")
+    val s2 = Dedup.incrementalFuzzyCommit(day2, "doc_id", "text", tbl, spec)
+      .select("id").as[Long].collect().sorted.toSeq
+    // 10 hits the committed store (estimate 1.0 vs doc 1), 12 clusters
+    // with 11 within the batch — only 11 survives
+    assert(s2 === Seq(11L))
+    assert(spark.table(tbl).count() === 12) // store grew by the survivor only
+
+    // plan pins: the committed side is read bucket-in-place
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", spec.buckets)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // (a) the per-bucket count guard groups ON the bucketing key —
+      // zero Exchange anywhere in the plan
+      val okStore = spark.table(tbl).groupBy("skey")
+        .agg(count(lit(1)).as("_n")).filter(col("_n") <= 64).select("skey")
+      okStore.collect()
+      val pAgg = okStore.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!pAgg.contains("Exchange"),
+        s"store-side bucket-count guard must not shuffle the store:\n$pAgg")
+      // (b) the candidate join shuffles ONLY the batch side: one Exchange
+      val skeyed = Dedup.bandsOfSigs(
+          Dedup.minhashSigsMd5(day2, "doc_id", "text", 8, 3))
+        .select(col("id"),
+          md5(concat_ws("|", col("band").cast("string"), col("key")))
+            .as("skey"))
+        .localCheckpoint()
+      val j = skeyed.join(spark.table(tbl)
+        .select(col("skey"), col("id").as("kept_id"), col("sig").as("kept_sig")),
+        Seq("skey"))
+      j.collect()
+      val pJoin = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val nEx = pJoin.sliding("Exchange".length).count(_ == "Exchange")
+      assert(nEx === 1,
+        s"store side of the candidate join must not shuffle (want 1 exchange, got $nEx):\n$pJoin")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("duplicate-span scrub removes every occurrence but the first, keeps unique text intact") {
     def m(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -89,6 +89,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(io.lastCommitted(StreamingPacking.stage) === 2)
   }
 
+  test("streaming fuzzy dedup: epochs match the batch twin, store screens near-dups") {
+    import graft.streaming.StreamingFuzzyDedup
+    import graft.streaming.StreamingFuzzyDedup.{Doc => FDoc}
+    import graft.core.Bucketing.BucketSpec
+    val tableDir = Files.createTempDirectory("sfuzzy-table").toString
+    val ckpt = Files.createTempDirectory("sfuzzy-ckpt").toString
+    val streamTbl = "sfuzzy_stream_store"
+    val twinTbl = "sfuzzy_twin_store"
+    spark.sql(s"DROP TABLE IF EXISTS $streamTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $twinTbl")
+    val spec = BucketSpec("skey", 4)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val textC = "red orange yellow green blue indigo violet ultraviolet"
+    val b0 = Seq(FDoc(1, textA), FDoc(2, textA), FDoc(3, textB))
+    val b1 = Seq(FDoc(10, textA), FDoc(11, textC), FDoc(12, textC))
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[FDoc]
+    val q = StreamingFuzzyDedup.start(spark, stream.toDS().toDF(),
+      tableDir, ckpt, streamTbl, spec)
+    try {
+      stream.addData(b0)
+      q.processAllAvailable()
+      stream.addData(b1)
+      q.processAllAvailable()
+    } finally q.stop()
+    // every epoch equals the batch twin run over the same batches
+    val t0 = graft.datapipe.Dedup.incrementalFuzzyCommit(
+      b0.toDF(), "doc_id", "text", twinTbl, spec)
+      .select("id").as[Long].collect().sorted.toSeq
+    val t1 = graft.datapipe.Dedup.incrementalFuzzyCommit(
+      b1.toDF(), "doc_id", "text", twinTbl, spec)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(t0 === Seq(1L, 3L) && t1 === Seq(11L)) // twin sanity
+    val io = new graft.core.TableIO(spark, tableDir)
+    assert(io.read("kept_docs_fuzzy").count() > 0)
+    val epoch1 = StreamingFuzzyDedup.landedRange(spark, tableDir, 0)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(epoch1 === t1, s"stream epoch 1 $epoch1 != batch twin $t1")
+    val all = StreamingFuzzyDedup.landed(spark, tableDir)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(all === (t0 ++ t1).sorted, s"landed $all != twin union")
+    // both stores hold the same survivor signatures
+    assert(spark.table(streamTbl).count() === spark.table(twinTbl).count())
+  }
+
   test("streaming incremental dedup: cross-batch duplicate keys never re-append") {
     import graft.streaming.StreamingDedup
     import graft.streaming.StreamingDedup.{Doc => DDoc}
