@@ -469,6 +469,36 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 400),
         docs.filter(col("doc_id") < 400), "doc_id", "text")
     }),
+    "q_kg_neo4j_csv" -> ((s, d) => {
+      // neo4j-admin-import CSV emission gated END-TO-END: build a small
+      // labeled graph from nation/region, write the import bundle (driver
+      // header files + parallel headerless parts), read the FILES back as
+      // text and return every line — the oracle re-derives the exact CSV
+      // strings, so header contract, ';'-label join, and row formatting
+      // are all hash-gated
+      val out = freshRunDir("neo4j-csv").toString
+      val nation = t(s, d, "nation")
+      val region = t(s, d, "region")
+      val vertices = nation.select(
+          concat(lit("nation:"), col("n_nationkey").cast("string")).as("vertex_id"),
+          col("n_name").as("name"), array(lit("Nation")).as("labels"))
+        .unionByName(region.select(
+          concat(lit("region:"), col("r_regionkey").cast("string")).as("vertex_id"),
+          col("r_name").as("name"), array(lit("Region")).as("labels")))
+      val edges = nation.select(
+        concat(lit("nation:"), col("n_nationkey").cast("string")).as("src"),
+        concat(lit("region:"), col("n_regionkey").cast("string")).as("dst"),
+        lit("IN_REGION").as("rel"))
+      Neo4jExport.write(vertices, edges, out)
+      s.read.text(s"$out/nodes")
+        .select(lit("node").as("kind"), col("value").as("line"))
+        .unionByName(s.read.text(s"$out/relationships")
+          .select(lit("rel").as("kind"), col("value").as("line")))
+        .unionByName(s.read.text(s"$out/nodes_header.csv")
+          .select(lit("node_header").as("kind"), col("value").as("line")))
+        .unionByName(s.read.text(s"$out/relationships_header.csv")
+          .select(lit("rel_header").as("kind"), col("value").as("line")))
+    }),
     "q_fuzzy_incremental" -> ((s, d) => {
       // incremental FUZZY dedup over a committed bucketed signature store —
       // the daily-crawl shape for the LSH scrub: batch 0 (doc_id < 400)
@@ -600,6 +630,21 @@ object SparkEntry {
       // approx_count_distinct is the lake-scale swap, same plan shape)
       graft.datapipe.Profile.columnProfile(t(s, d, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    "q_profile_approx" -> ((s, d) => {
+      // the lake-scale profile (HLL sketches, no Expand): DuckDB's HLL
+      // differs bit-for-bit, so the gate pins what IS portable — exact
+      // n_rows/n_null plus an engine-computed tolerance boolean (approx
+      // within ±5% of the exact distinct count) the oracle pins TRUE
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val docs = t(s, d, "documents")
+      graft.datapipe.Profile.columnProfileApprox(docs, cols)
+        .join(graft.datapipe.Profile.columnProfile(docs, cols)
+          .select(col("col_name"), col("n_distinct")), Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          (abs(col("n_distinct_approx") - col("n_distinct"))
+            .cast("double") / col("n_distinct") <= 0.05)
+            .as("approx_within_5pct"))
+    }),
     "q_train_shuffle" -> ((s, d) =>
       // deterministic training-order shuffle: seeded-md5 global permutation
       // rank via the two-phase distributed rank (range partition →
@@ -1003,6 +1048,12 @@ object SparkEntry {
         "k AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 400), " +
         "b AS (SELECT fp, min(doc_id) AS id FROM fp WHERE doc_id >= 400 GROUP BY 1) " +
         "SELECT b.id, b.fp FROM b WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.fp = b.fp)"),
+    "q_kg_neo4j_csv" ->
+      ("SELECT 'node' AS kind, 'nation:' || CAST(n_nationkey AS VARCHAR) || ',' || n_name || ',Nation' AS line FROM nation " +
+        "UNION ALL SELECT 'node', 'region:' || CAST(r_regionkey AS VARCHAR) || ',' || r_name || ',Region' FROM region " +
+        "UNION ALL SELECT 'rel', 'nation:' || CAST(n_nationkey AS VARCHAR) || ',region:' || CAST(n_regionkey AS VARCHAR) || ',IN_REGION' FROM nation " +
+        "UNION ALL SELECT 'node_header', ':ID,name,:LABEL' " +
+        "UNION ALL SELECT 'rel_header', ':START_ID,:END_ID,:TYPE'"),
     // fuzzy incremental: batch 0 near-dup-clusters itself (estimate >= 0.7,
     // transitive closure, min id survives), its survivors' band/sig rows
     // form the store; batch 1 drops docs whose signature estimate vs any
@@ -1141,6 +1192,16 @@ object SparkEntry {
         "SELECT col_name, count(*) AS n_rows, " +
         "CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null, " +
         "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct FROM u GROUP BY 1"),
+    "q_profile_approx" ->
+      ("WITH u AS (" +
+        "SELECT 'doc_id' AS col_name, doc_id::VARCHAR AS v FROM documents " +
+        "UNION ALL SELECT 'text', text FROM documents " +
+        "UNION ALL SELECT 'lang', lang FROM documents " +
+        "UNION ALL SELECT 'source', source FROM documents " +
+        "UNION ALL SELECT 'n_chars', n_chars::VARCHAR FROM documents) " +
+        "SELECT col_name, count(*) AS n_rows, " +
+        "CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null, " +
+        "TRUE AS approx_within_5pct FROM u GROUP BY 1"),
     "q_train_shuffle" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY " +
         "('0x' || substr(md5('42#' || doc_id), 1, 15))::BIGINT, doc_id) - 1 " +

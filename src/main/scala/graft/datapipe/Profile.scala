@@ -13,16 +13,15 @@ object Profile {
   /** Top-k hottest values of a prospective join/groupBy key with their
     * corpus share. Plans as a two-phase count + `TakeOrderedAndProject`
     * (plan-pinned) — the global top-k never materializes a full sort; ties
-    * broken by key so the report is deterministic. The total is a scalar
-    * aggregate over the already-reduced counts. */
+    * broken by key so the report is deterministic. The denominator is
+    * `df.count()` — sum-of-group-counts ≡ row count, and a bare count over
+    * a columnar source is metadata-only, so no key-cardinality cache needs
+    * to be pinned (and leaked) between a scalar-total action and the
+    * top-k pass. */
   def hotKeys(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
-    // persist the reduced counts: the scalar-total action and the top-k
-    // pass must not each re-scan the corpus
-    val counts = df.groupBy(col(keyCol).as("key"))
+    val total = df.count().toDouble
+    df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = counts.agg(sum("n")).first().getLong(0).toDouble
-    counts
       .orderBy(col("n").desc, col("key"))
       .limit(k)
       .select(col("key"), col("n"),
@@ -44,5 +43,23 @@ object Profile {
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
         countDistinct(col("v")).as("n_distinct"))
+  }
+
+  /** The lake-scale form of [[columnProfile]]: HyperLogLog++ sketches
+    * (`approx_count_distinct`, rsd 2%) instead of exact distincts. The
+    * exact form plans an Expand (one duplicated stream per distinct
+    * aggregate) plus a second aggregate over the expanded keys — at 100 TB
+    * that is a corpus-width exchange of every profiled VALUE; the sketch
+    * form is one aggregate whose exchange carries #cols fixed-size HLL
+    * buffers (plan-pinned in PlanSpec: no Expand, single agg pair). */
+  def columnProfileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val entries: Seq[Column] = cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v")))
+    df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        approx_count_distinct(col("v"), 0.02).as("n_distinct_approx"))
   }
 }

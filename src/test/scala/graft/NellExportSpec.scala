@@ -150,4 +150,31 @@ class NellExportSpec extends AnyFunSuite {
     assert(row._4.length === 1) // one path list per episode row
     assert(row._4.head.length === 5) // id, rel, id, rel, id interleave
   }
+
+  test("neo4j-admin import bundle: header contract, ';' labels, RFC-4180 quoting") {
+    import graft.stages.Neo4jExport
+    val out = java.nio.file.Files.createTempDirectory("neo4j-csv").toString
+    val vertices = Seq(
+      (1L, "plain", Seq("Person")),
+      (2L, "with,comma", Seq("Person", "Author")), // must be quoted
+      (3L, "empty-labels", Seq.empty[String]))
+      .toDF("vertex_id", "name", "labels")
+    val edges = Seq((1L, 2L, "KNOWS"), (2L, 3L, "WROTE"))
+      .toDF("src", "dst", "rel")
+    Neo4jExport.write(vertices, edges, out)
+    // header files: exactly the import-tool contract
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/nodes_header.csv")) === ":ID,name,:LABEL\n")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/relationships_header.csv")) === ":START_ID,:END_ID,:TYPE\n")
+    val nodeLines = spark.read.text(s"$out/nodes")
+      .as[String].collect().sorted.toSeq
+    assert(nodeLines === Seq(
+      "1,plain,Person",
+      "2,\"with,comma\",Person;Author",
+      "3,empty-labels,"))
+    val relLines = spark.read.text(s"$out/relationships")
+      .as[String].collect().sorted.toSeq
+    assert(relLines === Seq("1,2,KNOWS", "2,3,WROTE"))
+  }
 }

@@ -235,6 +235,24 @@ class PlanSpec extends AnyFunSuite {
       s"no two-phase bigram-count aggregate before the model joins:\n$p")
   }
 
+  test("approx profile: HLL sketch aggregate, no exact-distinct Expand") {
+    // the exact profile plans an Expand (one duplicated stream per distinct
+    // aggregate) — at 100 TB a corpus-width exchange of every profiled
+    // value; the sketch form must stay a single two-phase aggregate whose
+    // exchange carries fixed-size HLL buffers
+    val df = graft.datapipe.Profile.columnProfileApprox(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"),
+      s"approx profile regressed to the exact-distinct Expand:\n$p")
+    assert(p.contains("approx_count_distinct"),
+      s"no HLL sketch aggregate in the approx profile:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"approx profile collapsed to a single partition:\n$p")
+  }
+
   test("exact-dedup hot path stays inside whole-stage codegen") {
     // fingerprint (trim/regexp_replace/lower/md5) + two-phase HashAggregate
     // must all live in codegen stages ("*(n)" spans); lambda higher-order
