@@ -683,6 +683,24 @@ object SparkEntry {
         docs, graft.datapipe.LmScore.train(docs, "text", minCount = 3L),
         "doc_id", "text")
     }),
+    "q_lm_score_store" -> ((s, d) => {
+      // the committed-model form of q_lm_score: train once, commit the
+      // pruned model BUCKETED on the word, score from the store — the
+      // 100 TB shape where a web-scale vocabulary outgrows broadcast and
+      // the model side of the scoring join must read bucket-in-place
+      // (DatapipeSpec pins the zero-model-side-Exchange plan). Same
+      // result rows as q_lm_score — same oracle.
+      s.sql("DROP DATABASE IF EXISTS graft_lm CASCADE")
+      val wh = freshRunDir("lm-wh")
+      java.nio.file.Files.delete(wh) // CREATE DATABASE owns (and creates) it
+      s.sql(s"CREATE DATABASE graft_lm LOCATION '${wh.toString}'")
+      val docs = t(s, d, "documents")
+      graft.datapipe.LmScore.commitModel(
+        graft.datapipe.LmScore.train(docs, "text", minCount = 3L),
+        "graft_lm.lm_model", Bucketing.BucketSpec("w", 8))
+      graft.datapipe.LmScore.scoreFromStore(docs, "graft_lm.lm_model",
+        "doc_id", "text")
+    }),
     "q_shard_audit" -> ((s, d) => {
       // end-to-end shard writer: materialize the packing as
       // shard_id-partitioned parquet (4 seqs × 256 tokens per shard) into a
@@ -1241,16 +1259,10 @@ object SparkEntry {
         "CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed, " +
         "md5(coalesce(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE keep), '')) AS clean_md5 " +
         "FROM k GROUP BY doc_id"),
-    "q_lm_score" ->
-      ("WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents), " +
-        "tf AS (SELECT doc_id, w FROM tok WHERE len(w) > 0), " +
-        "cnt AS (SELECT w, count(*) AS c FROM tf GROUP BY 1), " +
-        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt), " +
-        "model AS (SELECT w, ln(c / t) AS logp FROM cnt, tot WHERE c >= 3), " +
-        "per AS (SELECT doc_id, w, count(*) AS n FROM tf GROUP BY 1, 2) " +
-        "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, " +
-        "round(sum(n * coalesce(logp, -12.0)) / sum(n), 6) AS avg_logp " +
-        "FROM per LEFT JOIN model USING (w) GROUP BY 1"),
+    "q_lm_score" -> lmScoreSql,
+    // identical result contract: the store changes the JOIN layout, not
+    // one output value
+    "q_lm_score_store" -> lmScoreSql,
     "q_shard_audit" ->
       ("WITH t AS (SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
         "f AS (SELECT * FROM t WHERE n_tokens > 0), " +
@@ -1639,6 +1651,19 @@ object SparkEntry {
         "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc) " +
         "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3")
   ) ++ graft.oracle.KgOracleSql.all
+
+  /** CCNet-shape unigram scoring oracle — shared by q_lm_score and its
+    * committed-bucketed-store twin (same values, different join layout). */
+  private def lmScoreSql: String =
+    "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents), " +
+      "tf AS (SELECT doc_id, w FROM tok WHERE len(w) > 0), " +
+      "cnt AS (SELECT w, count(*) AS c FROM tf GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt), " +
+      "model AS (SELECT w, ln(c / t) AS logp FROM cnt, tot WHERE c >= 3), " +
+      "per AS (SELECT doc_id, w, count(*) AS n FROM tf GROUP BY 1, 2) " +
+      "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, " +
+      "round(sum(n * coalesce(logp, -12.0)) / sum(n), 6) AS avg_logp " +
+      "FROM per LEFT JOIN model USING (w) GROUP BY 1"
 
   /** md5-family LSH banding + bucket-size guard over `documents` — shared by
     * the q_lsh_candidates and q_jaccard_pairs oracles (mirrors

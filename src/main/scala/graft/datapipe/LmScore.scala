@@ -70,6 +70,27 @@ object LmScore {
     * differ by an ulp between libms. */
   val FloorProb: Double = 6.14421235332821e-6
 
+  /** Commit a trained (w, logp) model to a table BUCKETED on `w`. The
+    * in-session model join in [[score]] relies on broadcast/AQE — right
+    * while the pruned model fits an executor, wrong at 100 TB where a
+    * web-scale bigram/unigram vocabulary outgrows broadcast: from the
+    * bucketed store, the model side of every scoring join is read
+    * bucket-in-place with ZERO model-side Exchange (plan-pinned in
+    * DatapipeSpec; run with `spark.sql.shuffle.partitions == spec.buckets`
+    * so the document side lands partition-aligned), and the model is
+    * trained once, scored against for weeks. */
+  def commitModel(model: DataFrame, table: String,
+                  spec: graft.core.Bucketing.BucketSpec): Unit = {
+    require(spec.key == "w", s"model store must bucket on w, got ${spec.key}")
+    graft.core.Bucketing.writeBucketed(model, table, spec)
+  }
+
+  /** Score against a committed bucketed model store ([[commitModel]]). */
+  def scoreFromStore(docs: DataFrame, modelTable: String, idCol: String,
+                     textCol: String, floorLogp: Double = -12.0): DataFrame =
+    score(docs, docs.sparkSession.table(modelTable), idCol, textCol,
+      floorLogp)
+
   /** Unigram model in PROBABILITY space (for interpolation): (w, p1) with
     * p1 = c/total for words with count >= minCount. Same pruning-by-filter
     * shape as [[train]]. */

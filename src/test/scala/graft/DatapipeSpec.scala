@@ -752,6 +752,47 @@ class DatapipeSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed LM-model store: scoring matches in-session model, model side never shuffles") {
+    import graft.core.Bucketing.BucketSpec
+    import graft.datapipe.LmScore
+    val tbl = "lm_model_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "the cat and the dog sat")).toDF("doc_id", "text")
+    val model = LmScore.train(docs, "text", minCount = 2L)
+    LmScore.commitModel(model, tbl, BucketSpec("w", 4))
+    val direct = LmScore.score(docs, model, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val stored = LmScore.scoreFromStore(docs, tbl, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(stored === direct)
+
+    // plan pin: with aligned widths the model side reads bucket-in-place —
+    // the scoring join's ONLY exchange is the document side's distinct-word
+    // aggregate landing on the model's partitioning
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docSide = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val j = docSide.join(spark.table(tbl), Seq("w"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val nEx = p.sliding("Exchange".length).count(_ == "Exchange")
+      assert(nEx === 1,
+        s"model side of the scoring join must not shuffle (want 1 exchange, got $nEx):\n$p")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("duplicate-span scrub removes every occurrence but the first, keeps unique text intact") {
     def m(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

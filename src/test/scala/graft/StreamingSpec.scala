@@ -89,6 +89,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(io.lastCommitted(StreamingPacking.stage) === 2)
   }
 
+  test("streaming LM refresh: counts compose — model after N batches == one-shot train") {
+    import graft.streaming.StreamingLm
+    import graft.streaming.StreamingLm.{Doc => LDoc}
+    val tableDir = Files.createTempDirectory("slm-table").toString
+    val ckpt = Files.createTempDirectory("slm-ckpt").toString
+    val b0 = Seq(LDoc(1, "the cat sat on the mat"), LDoc(2, "the dog ran"))
+    val b1 = Seq(LDoc(3, "the cat and the dog sat"))
+    val b2 = Seq(LDoc(4, "a mat and a log"))
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[LDoc]
+    val q = StreamingLm.start(spark, stream.toDS().toDF(), tableDir, ckpt)
+    try {
+      Seq(b0, b1, b2).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = StreamingLm.model(spark, tableDir, minCount = 2L)
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    val oneShot = graft.datapipe.LmScore.train(
+        (b0 ++ b1 ++ b2).toDF(), "text", minCount = 2L)
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    // counts are associative over any batch split: bit-identical logp
+    assert(streamed === oneShot)
+    // the committed state is vocab-sized, not corpus-sized: one (w, c)
+    // row per distinct word
+    val io = new graft.core.TableIO(spark, tableDir)
+    val counts = io.read(StreamingLm.stage).as[(String, Long)].collect()
+    assert(counts.map(_._1).distinct.length === counts.length)
+    assert(counts.map(_._2).sum ===
+      (b0 ++ b1 ++ b2).flatMap(_.text.split("\\s+")).count(_.nonEmpty))
+  }
+
   test("streaming fuzzy dedup: epochs match the batch twin, store screens near-dups") {
     import graft.streaming.StreamingFuzzyDedup
     import graft.streaming.StreamingFuzzyDedup.{Doc => FDoc}
