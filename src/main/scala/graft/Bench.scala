@@ -42,7 +42,10 @@ object Bench {
     "q_dedup_keep_best", "q_mix_rebalance", "q_pack_index", "q_pack_stats",
     "q_shard_audit", "q_cdc_dedup", "q_lm_score", "q_dup_span_scrub",
     "q_lm_bigram", "q_train_shuffle", "q_hot_keys", "q_profile",
-    "q_char_entropy")
+    "q_char_entropy",
+    // round-6 operators
+    "q_fuzzy_incremental", "q_kg_neo4j_csv", "q_profile_approx",
+    "q_lm_score_store")
 
   private def session(master: String, parts: Int): SparkSession = {
     val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath

@@ -551,6 +551,40 @@ object SparkEntry {
       } finally query.stop()
       StreamingDedup.landedRange(s, s"$dir/table", 0)
     }),
+    "q_fuzzy_incremental_stream" -> ((s, d) => {
+      // the STREAM path of incremental FUZZY dedup (StreamingFuzzyDedup:
+      // foreachBatch → signature screen vs the committed bucketed store →
+      // within-batch closure → epoch-append + store append): the same two
+      // fixed batches as q_fuzzy_incremental arrive as micro-batches 0 and
+      // 1, and the epoch-tagged survivors must equal the batch twin — same
+      // oracle. MemoryStream is fed from the driver (the documented
+      // verification seam); each batch's dataflow runs distributed.
+      import graft.streaming.StreamingFuzzyDedup
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      s.sql("DROP DATABASE IF EXISTS graft_fzs CASCADE")
+      val wh = freshRunDir("fzs-wh")
+      java.nio.file.Files.delete(wh) // CREATE DATABASE owns (and creates) it
+      s.sql(s"CREATE DATABASE graft_fzs LOCATION '${wh.toString}'")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[StreamingFuzzyDedup.Doc].collect()
+      val (oldBatch, newBatch) = docs.partition(_.doc_id < 400)
+      val dir = freshRunDir("sfuzzy").toString
+      val stream = MemoryStream[StreamingFuzzyDedup.Doc]
+      val query = StreamingFuzzyDedup.start(s, stream.toDS().toDF(),
+        s"$dir/table", s"$dir/ckpt", "graft_fzs.fuzzy_sigs",
+        Bucketing.BucketSpec("skey", 8))
+      try {
+        stream.addData(oldBatch.toSeq)
+        query.processAllAvailable()
+        stream.addData(newBatch.toSeq)
+        query.processAllAvailable()
+      } finally query.stop()
+      StreamingFuzzyDedup.landedWithEpochs(s, s"$dir/table")
+        .select(col("epoch"), col("id").as("doc_id"))
+    }),
     "q_minhash_est" -> ((s, d) => {
       // signature-based Jaccard estimate over the LSH candidates — the
       // cheap verify at lake scale (no per-pair re-tokenization; unbiased,
@@ -1066,62 +1100,16 @@ object SparkEntry {
         "k AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 400), " +
         "b AS (SELECT fp, min(doc_id) AS id FROM fp WHERE doc_id >= 400 GROUP BY 1) " +
         "SELECT b.id, b.fp FROM b WHERE NOT EXISTS (SELECT 1 FROM k WHERE k.fp = b.fp)"),
+    // the stream path must land EXACTLY the batch twin's epoch-tagged
+    // survivors (same oracle as q_fuzzy_incremental)
+    "q_fuzzy_incremental_stream" -> fuzzyIncrementalSql,
     "q_kg_neo4j_csv" ->
       ("SELECT 'node' AS kind, 'nation:' || CAST(n_nationkey AS VARCHAR) || ',' || n_name || ',Nation' AS line FROM nation " +
         "UNION ALL SELECT 'node', 'region:' || CAST(r_regionkey AS VARCHAR) || ',' || r_name || ',Region' FROM region " +
         "UNION ALL SELECT 'rel', 'nation:' || CAST(n_nationkey AS VARCHAR) || ',region:' || CAST(n_regionkey AS VARCHAR) || ',IN_REGION' FROM nation " +
         "UNION ALL SELECT 'node_header', ':ID,name,:LABEL' " +
         "UNION ALL SELECT 'rel_header', ':START_ID,:END_ID,:TYPE'"),
-    // fuzzy incremental: batch 0 near-dup-clusters itself (estimate >= 0.7,
-    // transitive closure, min id survives), its survivors' band/sig rows
-    // form the store; batch 1 drops docs whose signature estimate vs any
-    // stored survivor sharing a guarded band bucket clears the threshold,
-    // then clusters within itself. Guards at 64 per (band, key) on every
-    // side, mirroring the engine exactly.
-    "q_fuzzy_incremental" ->
-      (lshBaseCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        ", bk1 AS (SELECT * FROM bk WHERE doc_id < 400)" +
-        ", ok1 AS (SELECT band, key FROM bk1 GROUP BY 1, 2 HAVING count(*) <= 64)" +
-        ", cand1 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
-        "FROM bk1 a JOIN ok1 USING (band, key) " +
-        "JOIN bk1 b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)" +
-        ", vp1 AS (SELECT c.id1, c.id2 FROM cand1 c " +
-        "JOIN sg sa ON sa.doc_id = c.id1 JOIN sg sb ON sb.doc_id = c.id2 AND sa.hi = sb.hi " +
-        "GROUP BY 1, 2 HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 >= 0.7)" +
-        ", sym1 AS (SELECT id1 AS src, id2 AS dst FROM vp1 UNION SELECT id2, id1 FROM vp1)" +
-        ", reach1 AS (SELECT src AS id, src AS r FROM sym1 " +
-        "UNION SELECT reach1.id, s.dst FROM reach1 JOIN sym1 s ON s.src = reach1.r)" +
-        ", drop1 AS (SELECT id FROM (SELECT id, min(r) AS keep FROM reach1 GROUP BY 1) WHERE keep <> id)" +
-        ", s1 AS (SELECT DISTINCT doc_id FROM bk1 WHERE doc_id NOT IN (SELECT id FROM drop1))" +
-        ", store1 AS (SELECT doc_id, md5(CAST(band AS VARCHAR) || '|' || key) AS skey " +
-        "FROM bk WHERE doc_id IN (SELECT doc_id FROM s1))" +
-        ", oks AS (SELECT skey FROM store1 GROUP BY 1 HAVING count(*) <= 64)" +
-        ", bk2 AS (SELECT * FROM bk WHERE doc_id >= 400)" +
-        ", ks2 AS (SELECT doc_id, md5(CAST(band AS VARCHAR) || '|' || key) AS skey FROM bk2)" +
-        ", okb AS (SELECT skey FROM ks2 GROUP BY 1 HAVING count(*) <= 64)" +
-        ", candx AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid " +
-        "FROM ks2 n JOIN okb ON n.skey = okb.skey " +
-        "JOIN store1 o ON n.skey = o.skey " +
-        "JOIN oks ON o.skey = oks.skey)" +
-        ", hit AS (SELECT DISTINCT nid FROM (SELECT c.nid, c.oid FROM candx c " +
-        "JOIN sg sa ON sa.doc_id = c.nid JOIN sg sb ON sb.doc_id = c.oid AND sa.hi = sb.hi " +
-        "GROUP BY 1, 2 HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 >= 0.7))" +
-        ", fresh2 AS (SELECT DISTINCT doc_id FROM bk2 WHERE doc_id NOT IN (SELECT nid FROM hit))" +
-        ", bk2f AS (SELECT * FROM bk2 WHERE doc_id IN (SELECT doc_id FROM fresh2))" +
-        ", ok2 AS (SELECT band, key FROM bk2f GROUP BY 1, 2 HAVING count(*) <= 64)" +
-        ", cand2 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
-        "FROM bk2f a JOIN ok2 USING (band, key) " +
-        "JOIN bk2f b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)" +
-        ", vp2 AS (SELECT c.id1, c.id2 FROM cand2 c " +
-        "JOIN sg sa ON sa.doc_id = c.id1 JOIN sg sb ON sb.doc_id = c.id2 AND sa.hi = sb.hi " +
-        "GROUP BY 1, 2 HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 >= 0.7)" +
-        ", sym2 AS (SELECT id1 AS src, id2 AS dst FROM vp2 UNION SELECT id2, id1 FROM vp2)" +
-        ", reach2 AS (SELECT src AS id, src AS r FROM sym2 " +
-        "UNION SELECT reach2.id, s.dst FROM reach2 JOIN sym2 s ON s.src = reach2.r)" +
-        ", drop2 AS (SELECT id FROM (SELECT id, min(r) AS keep FROM reach2 GROUP BY 1) WHERE keep <> id)" +
-        ", s2 AS (SELECT doc_id FROM fresh2 WHERE doc_id NOT IN (SELECT id FROM drop2)) " +
-        "SELECT CAST(0 AS BIGINT) AS epoch, doc_id FROM s1 " +
-        "UNION ALL SELECT CAST(1 AS BIGINT) AS epoch, doc_id FROM s2"),
+    "q_fuzzy_incremental" -> fuzzyIncrementalSql,
     // the stream path must land EXACTLY the batch twin's survivors in its
     // second epoch snapshot
     "q_dedup_incremental_stream" ->
@@ -1651,6 +1639,59 @@ object SparkEntry {
         "r AS (SELECT query_id, id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank FROM sc) " +
         "SELECT query_id, id, cos, rank FROM r WHERE rank <= 3")
   ) ++ graft.oracle.KgOracleSql.all
+
+  /** Fuzzy-incremental oracle — shared by the batch gate row and its
+    * streaming twin (epochs must land the identical survivors): batch 0
+    * near-dup-clusters itself (estimate >= 0.7, transitive closure, min
+    * id survives), its survivors' band/sig rows form the store; batch 1
+    * drops docs whose signature estimate vs any stored survivor sharing
+    * a guarded skey bucket clears the threshold, then clusters within
+    * itself. Guards at 64 per bucket on every side, mirroring the
+    * engine exactly. */
+  private def fuzzyIncrementalSql: String =
+    lshBaseCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", bk1 AS (SELECT * FROM bk WHERE doc_id < 400)" +
+        ", ok1 AS (SELECT band, key FROM bk1 GROUP BY 1, 2 HAVING count(*) <= 64)" +
+        ", cand1 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM bk1 a JOIN ok1 USING (band, key) " +
+        "JOIN bk1 b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)" +
+        ", vp1 AS (SELECT c.id1, c.id2 FROM cand1 c " +
+        "JOIN sg sa ON sa.doc_id = c.id1 JOIN sg sb ON sb.doc_id = c.id2 AND sa.hi = sb.hi " +
+        "GROUP BY 1, 2 HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 >= 0.7)" +
+        ", sym1 AS (SELECT id1 AS src, id2 AS dst FROM vp1 UNION SELECT id2, id1 FROM vp1)" +
+        ", reach1 AS (SELECT src AS id, src AS r FROM sym1 " +
+        "UNION SELECT reach1.id, s.dst FROM reach1 JOIN sym1 s ON s.src = reach1.r)" +
+        ", drop1 AS (SELECT id FROM (SELECT id, min(r) AS keep FROM reach1 GROUP BY 1) WHERE keep <> id)" +
+        ", s1 AS (SELECT DISTINCT doc_id FROM bk1 WHERE doc_id NOT IN (SELECT id FROM drop1))" +
+        ", store1 AS (SELECT doc_id, md5(CAST(band AS VARCHAR) || '|' || key) AS skey " +
+        "FROM bk WHERE doc_id IN (SELECT doc_id FROM s1))" +
+        ", oks AS (SELECT skey FROM store1 GROUP BY 1 HAVING count(*) <= 64)" +
+        ", bk2 AS (SELECT * FROM bk WHERE doc_id >= 400)" +
+        ", ks2 AS (SELECT doc_id, md5(CAST(band AS VARCHAR) || '|' || key) AS skey FROM bk2)" +
+        ", okb AS (SELECT skey FROM ks2 GROUP BY 1 HAVING count(*) <= 64)" +
+        ", candx AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid " +
+        "FROM ks2 n JOIN okb ON n.skey = okb.skey " +
+        "JOIN store1 o ON n.skey = o.skey " +
+        "JOIN oks ON o.skey = oks.skey)" +
+        ", hit AS (SELECT DISTINCT nid FROM (SELECT c.nid, c.oid FROM candx c " +
+        "JOIN sg sa ON sa.doc_id = c.nid JOIN sg sb ON sb.doc_id = c.oid AND sa.hi = sb.hi " +
+        "GROUP BY 1, 2 HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 >= 0.7))" +
+        ", fresh2 AS (SELECT DISTINCT doc_id FROM bk2 WHERE doc_id NOT IN (SELECT nid FROM hit))" +
+        ", bk2f AS (SELECT * FROM bk2 WHERE doc_id IN (SELECT doc_id FROM fresh2))" +
+        ", ok2 AS (SELECT band, key FROM bk2f GROUP BY 1, 2 HAVING count(*) <= 64)" +
+        ", cand2 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 " +
+        "FROM bk2f a JOIN ok2 USING (band, key) " +
+        "JOIN bk2f b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)" +
+        ", vp2 AS (SELECT c.id1, c.id2 FROM cand2 c " +
+        "JOIN sg sa ON sa.doc_id = c.id1 JOIN sg sb ON sb.doc_id = c.id2 AND sa.hi = sb.hi " +
+        "GROUP BY 1, 2 HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 8.0 >= 0.7)" +
+        ", sym2 AS (SELECT id1 AS src, id2 AS dst FROM vp2 UNION SELECT id2, id1 FROM vp2)" +
+        ", reach2 AS (SELECT src AS id, src AS r FROM sym2 " +
+        "UNION SELECT reach2.id, s.dst FROM reach2 JOIN sym2 s ON s.src = reach2.r)" +
+        ", drop2 AS (SELECT id FROM (SELECT id, min(r) AS keep FROM reach2 GROUP BY 1) WHERE keep <> id)" +
+        ", s2 AS (SELECT doc_id FROM fresh2 WHERE doc_id NOT IN (SELECT id FROM drop2)) " +
+        "SELECT CAST(0 AS BIGINT) AS epoch, doc_id FROM s1 " +
+        "UNION ALL SELECT CAST(1 AS BIGINT) AS epoch, doc_id FROM s2"
 
   /** CCNet-shape unigram scoring oracle — shared by q_lm_score and its
     * committed-bucketed-store twin (same values, different join layout). */

@@ -52,6 +52,11 @@ final class TableIO(spark: SparkSession, root: String) {
   def read(stage: String): DataFrame =
     spark.read.parquet(snapDir(stage, lastCommitted(stage)).toString)
 
+  /** Read ONE committed snapshot by epoch id (epoch-tagged consumers —
+    * e.g. per-batch survivor audits — read each epoch labeled). */
+  def readSnapshot(stage: String, k: Int): DataFrame =
+    spark.read.parquet(snapDir(stage, k).toString)
+
   /** Union of ALL committed snapshots of a stage (epoch-append semantics —
     * the streaming layer appends one snapshot per micro-batch). */
   def readAll(stage: String): DataFrame = {

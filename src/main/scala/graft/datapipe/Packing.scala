@@ -34,6 +34,13 @@ import org.apache.spark.storage.StorageLevel
   * different boundaries, and phase 2's pids must match the ones phase 1
   * collected. (A lost cache block does NOT re-sample — the boundaries are
   * baked into the shuffle dependency; recompute refetches map outputs.)
+  *
+  * Cache lifecycle: each call releases everything it pinned before
+  * returning — the narrow projection unpersists right after the phase-1
+  * collect, and the range-partitioned projection unpersists once the
+  * result is materialized (localCheckpoint in packIndex/shuffleOrder, the
+  * snapshot commit in packIncremental) — so a micro-batch stream calling
+  * these forever holds ZERO retained CacheManager entries per batch.
   */
 object Packing {
 

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.core.TableIO
 import graft.datapipe.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming twin of [[Dedup.incrementalFuzzyCommit]] — continuous fuzzy
@@ -63,4 +64,14 @@ object StreamingFuzzyDedup {
   def landedRange(spark: SparkSession, tableDir: String,
                   fromExclusive: Int): DataFrame =
     new TableIO(spark, tableDir).readRange(epochStage, fromExclusive)
+
+  /** Epoch-tagged survivors: (epoch, id) across every landed snapshot —
+    * the per-batch audit shape the batch twin's two-run gate compares. */
+  def landedWithEpochs(spark: SparkSession, tableDir: String): DataFrame = {
+    val io = new TableIO(spark, tableDir)
+    (0 to io.lastCommitted(epochStage))
+      .map(k => io.readSnapshot(epochStage, k)
+        .select(lit(k.toLong).as("epoch"), col("id")))
+      .reduce(_ unionByName _)
+  }
 }
