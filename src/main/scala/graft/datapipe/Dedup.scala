@@ -262,7 +262,10 @@ object Dedup {
     val spark = batch.sparkSession
     val sigs = minhashSigsMd5(batch, idCol, textCol, numHashes, w)
       .localCheckpoint() // ONE signature pass feeds banding + both estimates
-    val bnd = bandsOfSigs(sigs, numHashes, bands).localCheckpoint()
+    // NOT checkpointed: re-deriving bands from the checkpointed sigs is
+    // `bands` md5 calls per doc — cheaper than materializing another copy
+    // and paying its eager job (the shingle scan behind it never re-runs)
+    val bnd = bandsOfSigs(sigs, numHashes, bands)
     val skeyed = bnd.select(col("id"),
       md5(concat_ws("|", col("band").cast("string"), col("key"))).as("skey"))
     val slotAgreement = (a: Column, b: Column) =>
