@@ -300,7 +300,11 @@ object Dedup {
         sigs)
       .filter(col("est_jaccard") >= threshold)
       .select("id1", "id2")
-    val dropped = dedupClusters(verified)
+    // the within-batch cluster graph is DELTA-sized (one batch's verified
+    // near-dup pairs, not the corpus's) — the guarded driver union-find
+    // saves O(log n) shuffle rounds per batch and falls back to the star
+    // kernel past 2M edges (the StreamingKg threshold)
+    val dropped = dedupClusters(verified, driverThreshold = 2000000L)
       .filter(col("id") =!= col("keep_id")).select("id")
     val survivors = fresh.join(dropped, Seq("id"), "left_anti")
       .localCheckpoint() // pin BEFORE the store grows below
@@ -507,8 +511,14 @@ object Dedup {
     * callers drop rows with id ≠ keep_id). Ids pass through a monotone
     * fixed-width string encoding (offset by 2^63, zero-padded) before the
     * string CC, so lexicographic min = numeric min over the FULL long
-    * range, negatives included. */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
+    * range, negatives included.
+    *
+    * `driverThreshold > 0` enables the bounded driver union-find fast path
+    * (the KbExpand/StreamingKg discipline: one guarded count, collect if it
+    * fits, otherwise the distributed star kernel untouched) — right for
+    * DELTA-sized cluster graphs like a daily batch's within-batch closure,
+    * wrong as a default for the corpus-wide scrub, so it stays opt-in. */
+  def dedupClusters(pairs: DataFrame, driverThreshold: Long = 0L): DataFrame = {
     // monotone Long → 20-char string: (id + 2^63) ∈ [0, 2^64) as decimal
     val off = lit(new java.math.BigDecimal("9223372036854775808"))
     def enc(c: Column) =
@@ -516,7 +526,8 @@ object Dedup {
         20, "0")
     def dec(c: Column) = (c.cast("decimal(20,0)") - off).cast("long")
     graft.stages.Canon.ccLogRounds(pairs.select(
-        enc(col("id1")).as("a"), enc(col("id2")).as("b")))
+        enc(col("id1")).as("a"), enc(col("id2")).as("b")),
+        driverThreshold = driverThreshold)
       .select(dec(col("name")).as("id"), dec(col("comp")).as("keep_id"))
   }
 
