@@ -48,4 +48,34 @@ object Bucketing {
   def colocatedJoin(spark: SparkSession, left: String, right: String,
                     spec: BucketSpec): DataFrame =
     readBucketed(spark, left).join(readBucketed(spark, right), spec.key)
+
+  /** Rewrite an append-grown bucketed table into one file per bucket.
+    *
+    * The committed-store operators (`Dedup.incrementalDedupCommit`,
+    * `Dedup.incrementalFuzzyCommit`, `LmScore.commitModel` refreshes)
+    * bucket-APPEND per batch, and every append lays its own file set into
+    * every bucket — after a year of daily batches each bucket holds ~365
+    * fragments and the scan side of the co-located join pays per-file open
+    * costs that dwarf the data. This is the maintenance pass a lake runs
+    * off-peak: read, cluster one-task-per-bucket (`repartition` on the
+    * bucket key, same trick as the shard writer — otherwise every write
+    * task leaves a sliver in every bucket), rewrite, atomically swap via
+    * catalog rename. Values, bucket spec, and the zero-Exchange join plan
+    * are all preserved (BucketingSpec pins file count AND plan). */
+  def compact(spark: SparkSession, table: String, spec: BucketSpec): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val tmp = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // cluster on the writer's OWN bucket-id formula (pmod(murmur3, n)) via
+    // a range partition — one task per bucket id, so one file per bucket;
+    // a plain repartition on the key hashes partition ids independently of
+    // bucket ids and every task still writes into every bucket
+    writeBucketed(
+      spark.table(table)
+        .repartitionByRange(spec.buckets,
+          pmod(hash(col(spec.key)), lit(spec.buckets))),
+      tmp, spec)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
 }

@@ -60,6 +60,49 @@ class BucketingSpec extends AnyFunSuite {
     assert(r1.map(_.toString).sorted.toSeq === r2.map(_.toString).sorted.toSeq)
   }
 
+  test("compact: append-grown store collapses to one file per bucket, values and plan intact") {
+    import org.apache.spark.sql.functions._
+    val tbl = "b_compact_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val cspec = BucketSpec("mid", 4)
+    // five daily appends — each lays its own file set into every bucket
+    (0 until 5).foreach { day =>
+      (0L until 200L).map(i => (day * 1000L + i, s"d$day"))
+        .toDF("mid", "v").write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(cspec.buckets, cspec.key).sortBy(cspec.key)
+        .format("parquet").saveAsTable(tbl)
+    }
+    def dataFiles(t: String): Int = {
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+        .filter(col("col_name") === "Location")
+        .select("data_type").as[String].head().stripPrefix("file:")
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(loc))
+      try walk.iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("part-"))
+      finally walk.close()
+    }
+    val before = spark.table(tbl).as[(Long, String)].collect().sorted.toSeq
+    val filesBefore = dataFiles(tbl)
+    assert(filesBefore >= 5 * cspec.buckets) // fragmentation is real
+    Bucketing.compact(spark, tbl, cspec)
+    assert(dataFiles(tbl) === cspec.buckets) // one file per bucket
+    assert(spark.table(tbl).as[(Long, String)].collect().sorted.toSeq === before)
+    // bucket metadata survived the swap: grouping on the key still plans
+    // with zero Exchange
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = spark.table(tbl).groupBy("mid").agg(count(lit(1)))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!p.contains("Exchange"),
+        s"compacted store lost its bucket layout:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     Bucketing.writeBucketed(
       (0L until 100L).map(i => (i, i % 7)).toDF("mid", "tag"),
