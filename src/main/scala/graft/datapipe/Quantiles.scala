@@ -26,13 +26,23 @@ object Quantiles {
     * Output: (key, n_rows, q_<p-tag>…) — one row per key, one column per
     * requested quantile, rounded to `scale` decimals. */
   def byKey(df: DataFrame, key: String, value: Column, ps: Seq[Double],
-            scale: Int = 4): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
-    val counts = df
-      .select(col(key), value.as("v"))
+            scale: Int = 4): DataFrame =
+    ofCounts(countsByValue(df, key, value), key, ps, scale)
+
+  /** The corpus-wide reduction on its own: (key, v, cnt) count-by-value.
+    * Exposed as the state a STREAMING quantile refresh maintains — counts
+    * compose over any batch split (sum is associative), so merged per-batch
+    * deltas are exactly the one-shot counts ([[graft.streaming.StreamingQuantiles]]). */
+  def countsByValue(df: DataFrame, key: String, value: Column): DataFrame =
+    df.select(col(key), value.as("v"))
       .where(col("v").isNotNull)
       .groupBy(col(key), col("v"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Interpolation over an already-reduced (key, v, cnt) table. */
+  def ofCounts(counts: DataFrame, key: String, ps: Seq[Double],
+               scale: Int = 4): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
     // cumulative count within key, ascending by value: row covers 0-based
     // ranks [cum - cnt, cum). Window input is ≤ distinct-values rows per
     // key — bounded by value resolution, independent of corpus size.

@@ -35,12 +35,17 @@ object StreamingFuzzyDedup {
 
   /** Start the incremental fuzzy-dedup query over a (doc_id, text) stream;
     * `tableDir` accumulates survivor epochs, `sigTable` is the bucketed
-    * committed signature store (created on first batch). */
+    * committed signature store (created on first batch).
+    * `compactEvery > 0` rewrites the store to one file per bucket every
+    * that many epochs ([[graft.core.Bucketing.compact]]) — each
+    * bucket-append lays its own file set into every bucket, so a
+    * long-running stream otherwise fragments the store into
+    * epochs × buckets files and the screen join pays per-file opens. */
   def start(spark: SparkSession, docsStream: DataFrame, tableDir: String,
             checkpointDir: String, sigTable: String,
             spec: graft.core.Bucketing.BucketSpec,
             idCol: String = "doc_id", textCol: String = "text",
-            threshold: Double = 0.7): StreamingQuery = {
+            threshold: Double = 0.7, compactEvery: Int = 0): StreamingQuery = {
     val io = new TableIO(spark, tableDir)
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -50,6 +55,9 @@ object StreamingFuzzyDedup {
             batch, idCol, textCol, sigTable, spec, threshold = threshold)
           io.commit(epochStage, survivors,
             counters = Map("batch_id" -> batchId))
+          if (compactEvery > 0 &&
+              (io.lastCommitted(epochStage) + 1) % compactEvery == 0)
+            graft.core.Bucketing.compact(spark, sigTable, spec)
         }
         ()
       }

@@ -89,6 +89,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(io.lastCommitted(StreamingPacking.stage) === 2)
   }
 
+  test("streaming quantile refresh: thresholds after N batches == one-shot byKey") {
+    import graft.streaming.StreamingQuantiles
+    val tableDir = Files.createTempDirectory("squant-table").toString
+    val ckpt = Files.createTempDirectory("squant-ckpt").toString
+    // bounded-resolution scores (2 decimals), two keys, three batches
+    val b0 = Seq(("web", 0.10), ("web", 0.50), ("book", 0.90))
+    val b1 = Seq(("web", 0.30), ("book", 0.70), ("book", 0.80))
+    val b2 = Seq(("web", 0.20), ("web", 0.40))
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, Double)]
+    val q = StreamingQuantiles.start(spark,
+      stream.toDS().toDF("source", "q"), tableDir, ckpt,
+      "source", df => df("q"))
+    try {
+      Seq(b0, b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val ps = Seq(0.5, 0.9)
+    val streamed = StreamingQuantiles
+      .thresholds(spark, tableDir, "source", ps)
+      .orderBy("source").collect().toSeq
+    val oneShot = graft.datapipe.Quantiles.byKey(
+        (b0 ++ b1 ++ b2).toDF("source", "q"), "source", col("q"), ps)
+      .orderBy("source").collect().toSeq
+    assert(streamed === oneShot)
+    // the committed state is dimension-sized: one row per (key, value)
+    val counts = new graft.core.TableIO(spark, tableDir)
+      .read(StreamingQuantiles.stage).collect()
+    assert(counts.length === (b0 ++ b1 ++ b2).distinct.length)
+  }
+
   test("streaming LM refresh: counts compose — model after N batches == one-shot train") {
     import graft.streaming.StreamingLm
     import graft.streaming.StreamingLm.{Doc => LDoc}
@@ -140,7 +170,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[FDoc]
     val q = StreamingFuzzyDedup.start(spark, stream.toDS().toDF(),
-      tableDir, ckpt, streamTbl, spec)
+      tableDir, ckpt, streamTbl, spec, compactEvery = 2)
     try {
       stream.addData(b0)
       q.processAllAvailable()
@@ -165,6 +195,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(all === (t0 ++ t1).sorted, s"landed $all != twin union")
     // both stores hold the same survivor signatures
     assert(spark.table(streamTbl).count() === spark.table(twinTbl).count())
+    // compactEvery=2 fired after epoch 2: the stream's store is ONE file
+    // per bucket (the twin, append-only, is fragmented across its appends)
+    import org.apache.spark.sql.functions.col
+    def dataFiles(t: String): Int = {
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+        .filter(col("col_name") === "Location")
+        .select("data_type").as[String].head().stripPrefix("file:")
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(loc))
+      try walk.iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("part-"))
+      finally walk.close()
+    }
+    assert(dataFiles(streamTbl) <= spec.buckets,
+      s"store not compacted: ${dataFiles(streamTbl)} files")
+    assert(dataFiles(twinTbl) > dataFiles(streamTbl))
   }
 
   test("streaming incremental dedup: cross-batch duplicate keys never re-append") {
