@@ -45,11 +45,14 @@ object SparkEntry {
     * parquet, streaming table + checkpoint) each cost /tmp space per
     * invocation; a fixed path breaks reruns (LOCATION_ALREADY_EXISTS,
     * stale checkpoints), so runs get fresh dirs — and THIS reaper bounds
-    * the accumulation. Only subdirs older than BOTH this JVM's start AND a
-    * 1h age horizon are deleted: a concurrent process (Verify vs a test
-    * JVM, two bench runs) keeps its live dir even when it started before
-    * this JVM, and anything a full hour old is an abandoned run, not a
-    * live query. */
+    * the accumulation. Staleness is keyed on OWNER LIVENESS, not age alone:
+    * each run dir records its creator's pid in a SIBLING `<dir>.owner_pid`
+    * file (sibling, not in-dir — several call sites hand the fresh dir to
+    * CREATE DATABASE, which expects to own an empty/absent path), and a dir
+    * whose owner process is still alive is never reaped — a multi-hour
+    * concurrent bench/verify run keeps its live warehouse however old the
+    * dir gets. The mtime horizon (older than BOTH this JVM's start AND 1h)
+    * only applies to dirs with a dead or unreadable owner. */
   private def freshRunDir(family: String): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
     val parent = java.nio.file.Paths.get(s"/tmp/graft-$family-runs")
@@ -57,10 +60,22 @@ object SparkEntry {
     val jvmStart = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getStartTime
     val horizon = math.min(jvmStart, System.currentTimeMillis() - 3600L * 1000)
+    def pidFileOf(p: java.nio.file.Path): java.nio.file.Path =
+      p.resolveSibling(p.getFileName.toString + ".owner_pid")
+    def ownerAlive(p: java.nio.file.Path): Boolean =
+      try {
+        val pidFile = pidFileOf(p)
+        java.nio.file.Files.exists(pidFile) && {
+          val pid = java.nio.file.Files.readString(pidFile).trim.toLong
+          ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+        }
+      } catch { case _: Exception => false }
     val listing = java.nio.file.Files.list(parent)
     val stale =
       try listing.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p)) // pid files go with their dir
         .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < horizon)
+        .filterNot(ownerAlive)
         .toList
       finally listing.close() // directory streams leak an fd per call otherwise
     stale.foreach { dir =>
@@ -69,9 +84,14 @@ object SparkEntry {
         try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
         finally walk.close()
+        java.nio.file.Files.deleteIfExists(pidFileOf(dir))
       } catch { case _: java.io.IOException => () } // lost a reap race: fine
     }
-    java.nio.file.Files.createTempDirectory(parent, "run")
+    val dir = java.nio.file.Files.createTempDirectory(parent, "run")
+    try java.nio.file.Files.writeString(pidFileOf(dir),
+      ProcessHandle.current().pid().toString)
+    catch { case _: java.io.IOException => () } // liveness is best-effort
+    dir
   }
 
   // q_dedup_clusters and q_dedup_keep_best expose two outputs of the SAME

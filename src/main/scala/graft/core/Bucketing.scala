@@ -59,13 +59,28 @@ object Bucketing {
     * costs that dwarf the data. This is the maintenance pass a lake runs
     * off-peak: read, cluster one-task-per-bucket (`repartition` on the
     * bucket key, same trick as the shard writer — otherwise every write
-    * task leaves a sliver in every bucket), rewrite, atomically swap via
-    * catalog rename. Values, bucket spec, and the zero-Exchange join plan
-    * are all preserved (BucketingSpec pins file count AND plan). */
+    * task leaves a sliver in every bucket), rewrite, swap via catalog
+    * renames. Values, bucket spec, and the zero-Exchange join plan are all
+    * preserved (BucketingSpec pins file count AND plan).
+    *
+    * Swap discipline (catalog renames are NOT atomic as a pair): the live
+    * name is vacated for the smallest possible window — RENAME live→old,
+    * RENAME new→live, DROP old — and a crash at any step is recoverable:
+    * the data always exists under `table`, `table_old`, or both (the
+    * `_compacting` copy is a duplicate until `_old` is dropped). A
+    * restarted compact first heals a previous half-swap — if the live name
+    * is missing it renames `_old` back — so the committed-store readers
+    * (which treat a missing table as an empty store) can never observe the
+    * store as absent after recovery runs. */
   def compact(spark: SparkSession, table: String, spec: BucketSpec): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val tmp = table + "_compacting"
+    val old = table + "_old"
+    // heal a crashed previous swap: live name vacated but _old still there
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
+      spark.sql(s"ALTER TABLE $old RENAME TO $table")
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $old")
     // cluster on the writer's OWN bucket-id formula (pmod(murmur3, n)) via
     // a range partition — one task per bucket id, so one file per bucket;
     // a plain repartition on the key hashes partition ids independently of
@@ -75,7 +90,8 @@ object Bucketing {
         .repartitionByRange(spec.buckets,
           pmod(hash(col(spec.key)), lit(spec.buckets))),
       tmp, spec)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
   }
 }

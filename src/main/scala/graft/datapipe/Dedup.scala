@@ -250,13 +250,25 @@ object Dedup {
     * over-cap bucket is boilerplate, not near-dup signal, exactly as in
     * [[lshCandidates]] — so no hot band key can go quadratic against the
     * accumulated store. Estimates touch only numHashes-slot signature
-    * arrays; document text never enters any exchange. */
+    * arrays; document text never enters any exchange.
+    *
+    * Replay idempotence (`batchId` ≥ 0 — the streaming path): store rows
+    * carry the batch id that appended them; the screen EXCLUDES own-batch
+    * rows, and the append is skipped when the store already holds this
+    * batch's rows. A batch re-delivered after a crash between the store
+    * append and the caller's epoch commit therefore reproduces its
+    * original survivor set instead of self-hitting the store at estimate
+    * 1.0 and landing an empty epoch (survivors that would then exist only
+    * in the signature store, never in any epoch snapshot). Batch callers
+    * (`batchId` = −1, the default) keep the plain screen semantics —
+    * every committed row participates. */
   def incrementalFuzzyCommit(batch: DataFrame, idCol: String, textCol: String,
                              sigTable: String,
                              spec: graft.core.Bucketing.BucketSpec,
                              numHashes: Int = 8, bands: Int = 4, w: Int = 3,
                              threshold: Double = 0.7,
-                             maxBucket: Int = 64): DataFrame = {
+                             maxBucket: Int = 64,
+                             batchId: Long = -1L): DataFrame = {
     require(spec.key == "skey",
       s"signature store must bucket on skey, got ${spec.key}")
     val spark = batch.sparkSession
@@ -271,9 +283,16 @@ object Dedup {
     val slotAgreement = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, x) => acc + x).cast("double") / numHashes
+    val storeExists = spark.catalog.tableExists(sigTable)
+    // replay detection (streaming only): did a previous attempt of THIS
+    // batch already append? One bounded probe — limit(1) on the batch tag.
+    val alreadyAppended = batchId >= 0 && storeExists &&
+      !spark.table(sigTable).filter(col("batch") === batchId).limit(1).isEmpty
     val fresh =
-      if (spark.catalog.tableExists(sigTable)) {
-        val store = spark.table(sigTable)
+      if (storeExists) {
+        val store0 = spark.table(sigTable)
+        val store =
+          if (batchId >= 0) store0.filter(col("batch") =!= batchId) else store0
         // both-side dense-bucket guards; the store-side count aggregate is
         // exchange-free (grouping key IS the bucketing key)
         val okStore = store.groupBy("skey")
@@ -308,12 +327,16 @@ object Dedup {
       .filter(col("id") =!= col("keep_id")).select("id")
     val survivors = fresh.join(dropped, Seq("id"), "left_anti")
       .localCheckpoint() // pin BEFORE the store grows below
-    skeyed.join(survivors, Seq("id"), "left_semi")
-      .join(sigs, Seq("id"))
-      .select("skey", "id", "sig")
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(spec.buckets, spec.key).sortBy(spec.key)
-      .format("parquet").saveAsTable(sigTable)
+    // the append itself is job-atomic (commit-protocol rename), so the
+    // replay guard above plus this skip make the whole batch idempotent
+    if (!alreadyAppended)
+      skeyed.join(survivors, Seq("id"), "left_semi")
+        .join(sigs, Seq("id"))
+        .select(col("skey"), col("id"), col("sig"),
+          lit(batchId).as("batch"))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(spec.buckets, spec.key).sortBy(spec.key)
+        .format("parquet").saveAsTable(sigTable)
     survivors
   }
 

@@ -12,21 +12,34 @@ object Profile {
 
   /** Top-k hottest values of a prospective join/groupBy key with their
     * corpus share. Plans as a two-phase count + `TakeOrderedAndProject`
-    * (plan-pinned) — the global top-k never materializes a full sort; ties
-    * broken by key so the report is deterministic. The denominator is
-    * `df.count()` — sum-of-group-counts ≡ row count, and a bare count over
-    * a columnar source is metadata-only, so no key-cardinality cache needs
-    * to be pinned (and leaked) between a scalar-total action and the
-    * top-k pass. */
+    * (plan-pinned on [[hotKeysOf]]) — the global top-k never materializes a
+    * full sort; ties broken by key so the report is deterministic.
+    *
+    * ONE upstream pass: `hotKeys` is called on arbitrary frames (filtered /
+    * joined / derived, not just scans), so the denominator must not be a
+    * second `df.count()` execution of the upstream plan. The reduced
+    * (key, n) counts are persisted, the total read off them with a tiny
+    * aggregate, and the k-row report localCheckpointed so the cache can be
+    * released before returning (the LmScore.withWordCounts lifecycle). */
   def hotKeys(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(col(keyCol).as("key"))
+    val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r = counts.agg(sum(col("n"))).collect()(0)
+      val total = (if (r.isNullAt(0)) 0L else r.getLong(0)).toDouble
+      hotKeysOf(counts, total, k).localCheckpoint()
+    } finally counts.unpersist(blocking = false)
+  }
+
+  /** The lazy top-k report over already-reduced (key, n) counts — the plan
+    * the no-global-sort pin inspects. */
+  private[graft] def hotKeysOf(counts: DataFrame, total: Double,
+                               k: Int): DataFrame =
+    counts.orderBy(col("n").desc, col("key"))
       .limit(k)
       .select(col("key"), col("n"),
         round(col("n").cast("double") / total, 6).as("share"))
-  }
 
   /** Per-column profile in long form: (column, n_rows, n_null,
     * n_distinct). One unpivot (values carried as strings) and one

@@ -21,12 +21,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * because the greedy fuzzy keep rule is not replay-idempotent the way the
   * exact anti-join is — a transitively-clustered non-survivor whose only
   * threshold link was to another non-survivor would pass the store screen
-  * on replay and be wrongly re-admitted. The residual seam (crash BETWEEN
-  * the store append and the epoch commit re-runs the batch against a
-  * store that already holds its survivors; they self-hit at estimate 1.0
-  * and the epoch lands empty) loses no keeps and admits no dups — it can
-  * only under-report that epoch's survivor list, exactly like the exact
-  * path's re-delivered-batch behavior. */
+  * on replay and be wrongly re-admitted. The crash seam BETWEEN the store
+  * append and the epoch commit is closed by batch-tagged store rows
+  * ([[Dedup.incrementalFuzzyCommit]]'s `batchId`): a replayed batch
+  * excludes its OWN earlier append from the screen (reproducing the
+  * original survivor set instead of self-hitting at estimate 1.0) and
+  * skips the second append — so the epoch snapshot the replay commits
+  * holds exactly the survivors whose signatures the store already has. */
 object StreamingFuzzyDedup {
 
   case class Doc(doc_id: Long, text: String)
@@ -52,7 +53,8 @@ object StreamingFuzzyDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!io.counterOf(epochStage, "batch_id").exists(_ >= batchId)) {
           val survivors = Dedup.incrementalFuzzyCommit(
-            batch, idCol, textCol, sigTable, spec, threshold = threshold)
+            batch, idCol, textCol, sigTable, spec, threshold = threshold,
+            batchId = batchId)
           io.commit(epochStage, survivors,
             counters = Map("batch_id" -> batchId))
           if (compactEvery > 0 &&

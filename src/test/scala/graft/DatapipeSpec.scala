@@ -752,6 +752,33 @@ class DatapipeSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy store replay: re-delivered batch reproduces survivors, no duplicate append") {
+    import graft.core.Bucketing.BucketSpec
+    val tbl = "fuzzy_replay_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val spec = BucketSpec("skey", 4)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val day1 = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    Dedup.incrementalFuzzyCommit(day1, "doc_id", "text", tbl, spec, batchId = 0L)
+    val day2 = Seq((10L, textA), (11L, "totally fresh words here milk bread"))
+      .toDF("doc_id", "text")
+    val first = Dedup.incrementalFuzzyCommit(day2, "doc_id", "text", tbl, spec,
+        batchId = 1L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(first === Seq(11L)) // 10 screened out by the committed store
+    val rowsAfterFirst = spark.table(tbl).count()
+    // simulate the crash seam: the store append happened, the epoch commit
+    // did not, and the batch is re-delivered with the SAME batch id
+    val replay = Dedup.incrementalFuzzyCommit(day2, "doc_id", "text", tbl, spec,
+        batchId = 1L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(replay === first,
+      "replayed batch must reproduce its original survivor set")
+    assert(spark.table(tbl).count() === rowsAfterFirst,
+      "replayed batch must not append its signatures twice")
+  }
+
   test("bucketed LM-model store: scoring matches in-session model, model side never shuffles") {
     import graft.core.Bucketing.BucketSpec
     import graft.datapipe.LmScore
@@ -857,7 +884,10 @@ class DatapipeSpec extends AnyFunSuite {
     val got = Profile.hotKeys(df, "k", 3)
       .as[(Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 5L, 0.416667), (2L, 3L, 0.25), (3L, 3L, 0.25)))
-    val plan = Profile.hotKeys(df, "k", 3)
+    // the public hotKeys localCheckpoints its k rows (cache lifecycle), so
+    // the no-global-sort pin inspects the lazy report shape directly
+    val counts = df.groupBy($"k".as("key")).agg(count(lit(1)).as("n"))
+    val plan = Profile.hotKeysOf(counts, 12.0, 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k fell back to a full global sort:\n$plan")
