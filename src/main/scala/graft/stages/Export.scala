@@ -30,7 +30,8 @@ object Export {
     * DumpGraphToText.kt:93–108). Export scale only — single window. */
   def entityIds(names: DataFrame): DataFrame =
     names.select(col("name")).distinct()
-      .withColumn("ent_id", row_number().over(Window.orderBy("name")) - 1)
+      .withColumn("ent_id", // literal partition key: same single partition, no WindowExec warning
+        row_number().over(Window.partitionBy(lit(0)).orderBy("name")) - 1)
 
   /** The graph-export forward relations (DumpGraphToText.kt main). */
   val forwardPreds: Seq[String] =

@@ -45,5 +45,7 @@ object GraphOut {
     * scale only, never in the core pipeline. */
   def exportIds(vertices: DataFrame): DataFrame =
     vertices.withColumn("export_id",
-      row_number().over(Window.orderBy(col("name"))) - 1)
+      // literal partition key: single partition as before (export scale),
+      // without the WindowExec no-partition warning
+      row_number().over(Window.partitionBy(lit(0)).orderBy(col("name"))) - 1)
 }

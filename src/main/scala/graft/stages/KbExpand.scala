@@ -72,7 +72,8 @@ object KbExpand {
       recursivePreds: Set[String],
       maxRounds: Int = 20,
       driverThreshold: Long = 0L,
-      m2eCollected: Option[Map[String, Seq[String]]] = None): DataFrame = {
+      m2eCollected: Option[Map[String, Seq[String]]] = None,
+      m2eTooLarge: Boolean = false): DataFrame = {
 
     // The BFS closure is DIMENSION-bounded: it expands over the KB tables,
     // never over per-doc rows (the doc side is already reduced to distinct
@@ -88,22 +89,37 @@ object KbExpand {
       avpair.select("entity", "pred", "obj")
         .limit(math.min(driverThreshold, Int.MaxValue - 2L).toInt + 1).collect()
     else Array.empty[org.apache.spark.sql.Row]
-    if (driverThreshold > 0 && avLimited.length <= driverThreshold) {
+    // BOTH dims must fit the driver for the fast path: the m2e collect
+    // carries the same limit-N+1 probe as avpair (an unguarded collect of a
+    // 100× dictionary would OOM the driver instead of degrading)
+    var m2eOver = m2eTooLarge // caller may have already probed the dim
+    if (driverThreshold > 0 && !m2eOver && avLimited.length <= driverThreshold) {
       import spark.implicits._
-      val m2e = m2eCollected.getOrElse(
-        ment2ent.select(col("mention"), col("entities"))
-          .as[(String, Seq[String])].collect().toMap)
-      // avLimited holds the COMPLETE avpair table (limit N+1 returned ≤ N)
-      val av = avLimited
-        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-        .groupBy(_._1)
-      val seeds = mentions.select("mention").as[String].collect()
-      // the result is built fully driver-side as a LocalRelation — no
-      // join/broadcast/checkpoint jobs; each spared dim-phase job is serial
-      // driver latency that lands 1:1 on the small-cluster pipeline wall
-      return triplesLocal(expandLocal(seeds, m2e, av, recursivePreds), av)
-        .toDF("subj", "pred", "obj")
+      val m2e = m2eCollected.getOrElse {
+        val rows = ment2ent.select(col("mention"), col("entities"))
+          .limit(math.min(driverThreshold, Int.MaxValue - 2L).toInt + 1)
+          .as[(String, Seq[String])].collect()
+        if (rows.length > driverThreshold) { m2eOver = true; null }
+        else rows.toMap
+      }
+      if (!m2eOver) {
+        // avLimited holds the COMPLETE avpair table (limit N+1 returned ≤ N)
+        val av = avLimited
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .groupBy(_._1)
+        val seeds = mentions.select("mention").as[String].collect()
+        // the result is built fully driver-side as a LocalRelation — no
+        // join/broadcast/checkpoint jobs; each spared dim-phase job is serial
+        // driver latency that lands 1:1 on the small-cluster pipeline wall
+        return triplesLocal(expandLocal(seeds, m2e, av, recursivePreds), av)
+          .toDF("subj", "pred", "obj")
+      }
     }
+
+    // an over-bound dictionary must not be force-broadcast either — let the
+    // planner pick the join (AQE broadcasts iff it actually fits)
+    val m2eJoin: DataFrame => DataFrame =
+      df => if (m2eOver) df else broadcast(df)
 
     val recPreds = recursivePreds.toSeq
     var frontier = mentions.select(col("mention")).distinct().localCheckpoint()
@@ -116,7 +132,7 @@ object KbExpand {
       // ment2ent is a broadcast dictionary (north star) — no shuffle of the
       // frontier beyond its own distinct.
       val ents0 = frontier
-        .join(broadcast(ment2ent), Seq("mention"))
+        .join(m2eJoin(ment2ent), Seq("mention"))
         .select(explode(col("entities")).as("entity"))
         .distinct()
       val ents =

@@ -94,4 +94,37 @@ object Mentions {
     textSpans.select(col("doc_id"), col("span_offset").cast("int").as("span_offset"),
       explode(trieMatch(col("text"), bc)).as("mention"))
   }
+
+  /** Dataflow mention detection for dictionaries BEYOND the driver bound —
+    * the fallback when the ment2ent dimension cannot be collected to build
+    * the broadcast trie (same output contract as [[detect]]: one row per
+    * distinct dictionary word contained in each span).
+    *
+    * Shape: substring blocking. The distinct dictionary-entry LENGTHS are a
+    * tiny dimension (bounded by the longest mention — broadcast); each span
+    * explodes into its |text| × |lengths| candidate substrings, and a
+    * LEFT SEMI equi-join against the dictionary keeps exactly the
+    * substrings that are dictionary words. The dictionary side is never
+    * driver-resident and never broadcast — the join shuffles candidate
+    * hashes at corpus scale, which is the price of a dictionary that has
+    * outgrown every executor's memory. */
+  def detectBySubstring(spark: SparkSession, textSpans: DataFrame,
+                        dict: DataFrame): DataFrame = {
+    val words = dict.select(col(dict.columns.head).as("mention"))
+      .where(col("mention").isNotNull && length(col("mention")) > 0)
+      .distinct()
+    val lens = words.select(length(col("mention")).as("len")).distinct()
+    val cands = textSpans
+      .join(broadcast(lens), length(col("text")) >= col("len"))
+      .select(col("doc_id"), col("span_offset").cast("int").as("span_offset"),
+        col("text"), col("len"),
+        explode(sequence(lit(1), length(col("text")) - col("len") + 1)).as("i"))
+      .select(col("doc_id"), col("span_offset"),
+        col("text").substr(col("i"), col("len")).as("mention"))
+    cands.join(words, Seq("mention"), "left_semi")
+      // one row per distinct word per span, like the trie walk; dedup AFTER
+      // the semi-join so only dictionary hits (tiny) reach the distinct
+      .distinct()
+      .select(col("doc_id"), col("span_offset"), col("mention"))
+  }
 }

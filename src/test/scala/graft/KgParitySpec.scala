@@ -32,6 +32,36 @@ class KgParitySpec extends AnyFunSuite {
       s"diffA=${(slow diff fastS).take(3)} diffB=${(fastS diff slow).take(3)}")
   }
 
+  test("over-bound ment2ent degrades to the distributed detect + dataflow expand, identical triples") {
+    // dimBound = 1: every dim collect's limit-N+1 probe overflows, so the
+    // fused phase bails, the broadcast-trie build is skipped, mention
+    // detection runs through Mentions.detectBySubstring, and the BFS runs
+    // the dataflow loop with an unforced m2e join — the degradation path a
+    // 100× dictionary takes instead of OOMing the driver.
+    val bounded = KgPipeline.run(spark, docs, m2e, av, shufflePartitions = 4,
+        dimFastPaths = true, dimBound = 1L)
+      .triples.select("subj", "pred", "obj")
+      .as[(String, String, String)].collect().toSet
+    val reference = tripleSet(fast = true)
+    assert((reference diff bounded).isEmpty && (bounded diff reference).isEmpty,
+      s"diffA=${(reference diff bounded).take(3)} diffB=${(bounded diff reference).take(3)}")
+  }
+
+  test("substring detect ≡ broadcast-trie detect on the corpus dictionary") {
+    val dict = m2e.select("mention").distinct()
+      .as[String].collect().toSeq
+    val spans = KgPipeline.textSpans(docs)
+    val trie = graft.stages.Mentions.detect(spark, spans, dict)
+      .select(col("doc_id").cast("string"), col("span_offset"), col("mention"))
+      .as[(String, Int, String)].collect().toSet
+    val sub = graft.stages.Mentions.detectBySubstring(spark, spans,
+        m2e.select("mention"))
+      .select(col("doc_id").cast("string"), col("span_offset"), col("mention"))
+      .as[(String, Int, String)].collect().toSet
+    assert((trie diff sub).isEmpty && (sub diff trie).isEmpty,
+      s"diffA=${(trie diff sub).take(3)} diffB=${(sub diff trie).take(3)}")
+  }
+
   test("kill/resume: re-run from committed snapshots yields identical triples") {
     val dir = Files.createTempDirectory("kgio").toString
     val io1 = new TableIO(spark, dir)
