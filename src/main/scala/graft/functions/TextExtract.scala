@@ -43,8 +43,14 @@ object TextExtract {
   val validTimeRegex = "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}$"
 
   /** F3 — `intOrZero` (FromScrappyDump.kt:74–85): first anchored integer of a
-    * stat text like `转发 17376`; null / no-digit-suffix → 0. */
+    * stat text like `转发 17376`; null / no-digit-suffix → 0. Native
+    * digit-suffix scan (the regex allocated a Matcher + decoded the string
+    * per row on the normalize hot path); [[intOrZeroRegex]] is the parity
+    * oracle. */
   def intOrZero(c: Column): Column =
+    coalesce(UrlParseExpr.digitSuffix(c).cast("int"), lit(0))
+
+  private[graft] def intOrZeroRegex(c: Column): Column =
     coalesce(firstMatch(c, numberRegex).cast("int"), lit(0))
 
   /** F4 — `detectTags` (FromScrappyDump.kt:87–97): on the text before the
@@ -64,11 +70,19 @@ object TextExtract {
     * (FromScrappyDump.kt:116; MicroBlog.kt:4). */
   def isValidTime(c: Column): Column = c.rlike(validTimeRegex)
 
-  /** F9 — URL parsers (MicroBlog.kt:42–79). Spark's regexp_extract returns ""
-    * on no-match — exactly the reference's no-match return. */
-  def url2codedMid(url: Column): Column = regexp_extract(url, blogUrlRegex, 2)
-  def uidFromBlogUrl(url: Column): Column = regexp_extract(url, blogUrlRegex, 1)
-  def uidFromUserUrl(url: Column): Column =
+  /** F9 — URL parsers (MicroBlog.kt:42–79). "" on no-match — exactly the
+    * reference's no-match return. Native byte scans (functions/UrlParse)
+    * with java-regex semantics replicated; the regex formulations below
+    * stay as parity oracles (ExtractSpec pins them bit-identical). */
+  def url2codedMid(url: Column): Column = UrlParseExpr.blogMid(url)
+  def uidFromBlogUrl(url: Column): Column = UrlParseExpr.blogUid(url)
+  def uidFromUserUrl(url: Column): Column = UrlParseExpr.userUid(url)
+
+  private[graft] def url2codedMidRegex(url: Column): Column =
+    regexp_extract(url, blogUrlRegex, 2)
+  private[graft] def uidFromBlogUrlRegex(url: Column): Column =
+    regexp_extract(url, blogUrlRegex, 1)
+  private[graft] def uidFromUserUrlRegex(url: Column): Column =
     regexp_replace(regexp_extract(url, userUrlIdRegex, 1), "u/", "")
 
   /** F6 — `alignTime` (FromScrappyDump.kt:112–160): normalize relative CJK

@@ -65,7 +65,9 @@ object Normalize {
     val srcText = textOf("src")
 
     // create_time branch then time branch (FromScrappyDump.kt:202–225)
-    val timeClean = regexp_replace(timeF, "\n", "")
+    // translate, not regexp_replace: removing a literal char needs no
+    // Matcher/String allocation per row on the normalize hot path
+    val timeClean = translate(timeF, "\n", "")
     val timeRaw =
       when(ctime.isNotNull,
         when(ctime.contains("<div"), trim(TE.titleAttr(ctime))).otherwise(ctime))

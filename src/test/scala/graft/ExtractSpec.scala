@@ -77,6 +77,58 @@ class ExtractSpec extends AnyFunSuite {
     assert(eval1("//weibo.com/u/1342829361", TE.uidFromUserUrl) === "1342829361")
   }
 
+  test("native url/digit parsers ≡ regex formulations (adversarial vectors)") {
+    // the hot-path parsers are byte scans; these vectors exercise every
+    // java-regex subtlety they must replicate: lazy groups, '.' excluding
+    // the five line terminators, $ matching before a FINAL terminator,
+    // find() occurrence order, empty/multibyte/overlapping inputs
+    val urls = Seq(
+      "//weibo.com/2803301701/I38U0qh0y?refer_flag=1",
+      "//weibo.com/2803301701/I38U0qh0y",
+      "//weibo.com/a/123456789", "//weibo.com/a/12345678",
+      "//weibo.com//123456789", "//weibo.com/a//123456789x",
+      "//weibo.com/αβγ/ABCdef123tail", "//weibo.com/a/ABC-ef123",
+      "//weibo.com/x\n/123456789", "//weibo.com/x y/123456789",
+      "pre //weibo.com/u1/短名/AbC123xYz!", "//weibo.com/",
+      "//weibo.com/u/1342829361", "//weibo.com/uu/13428/abcdefghi",
+      "https://weibo.com/11/aaaaaaaaa //weibo.com/22/bbbbbbbbb",
+      "//weibo.com/x//weibo.com/yy/ccccccccc", "not a url", "",
+      "//weibo.com/u/u/u/123", "//weibo.com/", "//weibo.com",
+      "//weibo.com/᠀᠀/123456789")
+    val stats = Seq("转发 17376", "转发 17376x", "no digits", "12345",
+      "a12b34", "x99\n", "x99\r\n", "x\n99", "99 ", "x99 ",
+      "转发\n12", " 7", "007", "", "\n", "9")
+    def both(in: Seq[String], a: Column => Column, b: Column => Column) = {
+      val df = in.toDF("c")
+      val got = df.select(a(col("c")), b(col("c"))).collect()
+      in.zip(got).foreach { case (s, r) =>
+        assert(r.get(0) == r.get(1),
+          s"native=${r.get(0)} regex=${r.get(1)} for input ${s.replace("\n", "\\n")}")
+      }
+    }
+    both(urls, TE.url2codedMid, TE.url2codedMidRegex)
+    both(urls, TE.uidFromBlogUrl, TE.uidFromBlogUrlRegex)
+    both(urls, TE.uidFromUserUrl, TE.uidFromUserUrlRegex)
+    both(stats, TE.intOrZero, TE.intOrZeroRegex)
+
+    // seeded fuzz over a hostile alphabet (prefix fragments, separators,
+    // digits, letters, multibyte, all five line terminators)
+    val rnd = new scala.util.Random(42)
+    val atoms = Seq("//weibo.com/", "/", "u", "u/", "weibo", ".com", "1",
+      "23", "456789", "abcDEF", "名", "\n", "\r", "\u0085", "\u2028",
+      "\u2029", " ", "ABCdef123", "x")
+    val fuzz = (1 to 800).map(_ =>
+      (0 until rnd.nextInt(8)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString)
+    both(fuzz, TE.url2codedMid, TE.url2codedMidRegex)
+    both(fuzz, TE.uidFromBlogUrl, TE.uidFromBlogUrlRegex)
+    both(fuzz, TE.uidFromUserUrl, TE.uidFromUserUrlRegex)
+    // compare the raw suffix (pre-cast): a fuzzed 12-digit run would make
+    // BOTH formulations throw the same ANSI int-overflow, aborting the
+    // comparison rather than disproving parity
+    both(fuzz, c => graft.functions.UrlParseExpr.digitSuffix(c),
+      c => TE.firstMatch(c, TE.numberRegex))
+  }
+
   test("nell concept split (FromText.kt:11–21)") {
     val r = Seq("concept_athlete_michael_jordan").toDF("c")
       .select(TE.nellLabelEntity(col("c"))).collect()(0).getStruct(0)
