@@ -130,9 +130,16 @@ object Dedup {
     * bucket by key hash), the count guard is a two-phase aggregate, and
     * pairs are expanded IN PLACE from cap-bounded bucket arrays — one
     * shuffle on (band, key), no self-join, no recomputation of the
-    * signature pipeline per join side. */
-  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = 64): DataFrame = {
-    val b = bandsDf.localCheckpoint()
+    * signature pipeline per join side.
+    *
+    * `materialize = false` skips the eager checkpoint — right when the
+    * band stream already derives from a checkpointed signature frame (the
+    * incremental-store path): the guard aggregate and the bucket join then
+    * read the same cheap md5 projection twice instead of paying a
+    * materialization job per micro-batch. */
+  def lshCandidates(bandsDf: DataFrame, maxBucket: Int = 64,
+                    materialize: Boolean = true): DataFrame = {
+    val b = if (materialize) bandsDf.localCheckpoint() else bandsDf
     val ok = b.groupBy("band", "key")
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxBucket)
@@ -315,7 +322,8 @@ object Dedup {
       } else sigs.select("id")
     // within-batch closure among the store-clean docs
     val verified = minhashEstimate(
-        lshCandidates(bnd.join(fresh, Seq("id"), "left_semi"), maxBucket),
+        lshCandidates(bnd.join(fresh, Seq("id"), "left_semi"), maxBucket,
+          materialize = false),
         sigs)
       .filter(col("est_jaccard") >= threshold)
       .select("id1", "id2")

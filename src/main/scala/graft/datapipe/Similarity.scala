@@ -193,18 +193,20 @@ object Similarity {
         col("v").as("cv"))
       .localCheckpoint()
     // exact, order-independent QE: csim is already rounded to 6 decimals in
-    // assignCells, so the decimal(28,6) sum is lossless and deterministic
-    def qeOf(cells: DataFrame): java.math.BigDecimal =
-      cells.agg(sum((lit(1.0) - col("csim")).cast("decimal(28,6)")))
-        .collect()(0).getDecimal(0)
-    var best = cent
-    var bestQe: java.math.BigDecimal = null
-    var seedQe: java.math.BigDecimal = null
-    (0 until iters).foreach { _ =>
+    // assignCells, so the decimal(28,6) sum is lossless and deterministic.
+    // The per-iterate QE aggregates are DEFERRED and unioned into ONE
+    // collect at the end (each reads its iterate's checkpointed cells; the
+    // final layout's assignment runs lazily inside the same job) — the
+    // training loop itself pays no per-iteration driver round trip.
+    def qeAgg(cells: DataFrame, i: Int): DataFrame =
+      cells.agg(lit(i).as("i"),
+        sum((lit(1.0) - col("csim")).cast("decimal(28,6)")).as("qe"))
+    val cents = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val qeAggs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    (0 until iters).foreach { i =>
       val cells = assignCells(data, cent).localCheckpoint()
-      val qe = qeOf(cells) // QE of the CURRENT layout, off the same assignment
-      if (seedQe == null) seedQe = qe // iteration 0 IS the seed layout
-      if (bestQe == null || qe.compareTo(bestQe) < 0) { bestQe = qe; best = cent }
+      cents += cent
+      qeAggs += qeAgg(cells, i) // QE of the CURRENT layout, same assignment
       val nrm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
       val means = cells
         .select(col("cid"),
@@ -217,10 +219,16 @@ object Similarity {
         .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
         .localCheckpoint()
     }
-    val lastQe = qeOf(assignCells(data, cent))
-    if (seedQe == null) seedQe = lastQe // iters = 0: the seed is the only iterate
-    if (bestQe == null || lastQe.compareTo(bestQe) < 0) { bestQe = lastQe; best = cent }
-    TrainedIndex(best, seedQe, bestQe)
+    cents += cent
+    qeAggs += qeAgg(assignCells(data, cent), iters)
+    val qes = qeAggs.reduce(_ unionAll _).collect()
+      .map(r => (r.getInt(0), r.getDecimal(1))).sortBy(_._1).map(_._2)
+    val seedQe = qes.head // iteration 0 IS the seed layout (iters = 0 too)
+    // first minimum wins, exactly the old strict-< running comparison
+    var bestIdx = 0
+    qes.indices.foreach(i =>
+      if (qes(i).compareTo(qes(bestIdx)) < 0) bestIdx = i)
+    TrainedIndex(cents(bestIdx), seedQe, qes(bestIdx))
   }
 
   /** Mean quantization error of a centroid layout: avg(1 − cos(v, nearest

@@ -54,8 +54,13 @@ object TextExtract {
     coalesce(firstMatch(c, numberRegex).cast("int"), lit(0))
 
   /** F4 — `detectTags` (FromScrappyDump.kt:87–97): on the text before the
-    * first `//@`, extract `@user` handles then `#topic#` topics, in order. */
-  def detectTags(content: Column): Column = {
+    * first `//@`, extract `@user` handles then `#topic#` topics, in order.
+    * Native fused byte scan (functions/TagScan — the two regexp_extract_all
+    * walks decoded + Matcher-allocated per blog row on the emission hot
+    * path); [[detectTagsRegex]] is the parity oracle. */
+  def detectTags(content: Column): Column = DetectTagsExpr(content)
+
+  private[graft] def detectTagsRegex(content: Column): Column = {
     val top = substring_index(content, "//@", 1)
     concat(extractValues(top, quoteUserRegex), extractValues(top, topicRegex))
   }

@@ -127,6 +127,28 @@ class ExtractSpec extends AnyFunSuite {
     // comparison rather than disproving parity
     both(fuzz, c => graft.functions.UrlParseExpr.digitSuffix(c),
       c => TE.firstMatch(c, TE.numberRegex))
+
+    // detectTags: native fused scan vs the two-regex formulation — arrays
+    // compared elementwise in match order
+    def bothTags(in: Seq[String]): Unit = {
+      val got = in.toDF("c")
+        .select(TE.detectTags(col("c")), TE.detectTagsRegex(col("c"))).collect()
+      in.zip(got).foreach { case (s, r) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"native=${r.getSeq[String](0)} regex=${r.getSeq[String](1)} for ${s.replace("\n", "\\n")}")
+      }
+    }
+    bothTags(Seq(
+      "@abc 一些内容 @def//@ghi: 另一些内容//@jkl: 还有一些内容",
+      "#this#and#that#//@someone: #another# thing",
+      "@a: @b", "@a:@b", "@a @@b", "@ x", "@", "#", "##", "###", "#a#b#",
+      "#新闻# @用户 text #主题#", "#no close", "#a\nb#", "@tab\tnext",
+      "plain text", "", "//@first @late", "a//@x#t#", "@e//@", "#t#//@x"))
+    val tagAtoms = Seq("@", "#", "a", "名", " ", ":", "\t", "\n", "//@",
+      "#t#", "@u", "x", "", " ")
+    val tagFuzz = (1 to 800).map(_ =>
+      (0 until rnd.nextInt(10)).map(_ => tagAtoms(rnd.nextInt(tagAtoms.size))).mkString)
+    bothTags(tagFuzz)
   }
 
   test("nell concept split (FromText.kt:11–21)") {
