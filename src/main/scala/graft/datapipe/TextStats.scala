@@ -178,10 +178,14 @@ object TextStats {
           floor((length(col("tx")) - 1) / chunk).cast("int"))).as("k"))
       .select(col("id"),
         col("tx").substr(col("k") * chunk + 1, lit(chunk)).as("ck"))
-      .select(col("id"), col("ck"),
-        explode(sequence(lit(1), length(col("ck")))).as("i"))
-      .select(col("id"), col("ck").substr(col("i"), lit(1)).as("ch"))
-      .groupBy("id", "ch").agg(count(lit(1)).as("n"))
+      // per-chunk native histogram (functions/CharCounts): the walk stays
+      // chunk-bounded, but the Generate emits one row per DISTINCT char per
+      // chunk instead of one per character — ~40× fewer rows into the
+      // (id, ch) aggregate at natural alphabet sizes, identical counts
+      .select(col("id"),
+        explode(graft.functions.CharCountsExpr(col("ck"))).as("e"))
+      .groupBy(col("id"), col("e.ch").as("ch"))
+      .agg(sum(col("e.n")).as("n"))
       .groupBy("id")
       .agg(sum("n").as("n_chars"),
         round(log(sum("n")) - sum(col("n") * log(col("n"))) / sum("n"), 6)
