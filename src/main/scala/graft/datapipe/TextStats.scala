@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
 object TextStats {
 
   /** whitespace tokenization + a BPE-ish subword count proxy: words plus
-    * extra units for every 4 chars of long words. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+    * extra units for every 4 chars of long words. Native byte scan
+    * (functions/WsSplit) — the regex split paid a Matcher walk per row on
+    * every shingle/LM/chunk scan; [[tokensRegex]] is the parity oracle. */
+  def tokens(text: Column): Column = graft.functions.WsSplitExpr(text)
+
+  private[graft] def tokensRegex(text: Column): Column =
+    split(trim(text), "\\s+")
 
   /** Every scalar per-doc counter in ONE text walk — the fused native
     * expression (functions/TextCounts). All the scalar signals below are

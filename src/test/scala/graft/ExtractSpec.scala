@@ -149,6 +149,27 @@ class ExtractSpec extends AnyFunSuite {
     val tagFuzz = (1 to 800).map(_ =>
       (0 until rnd.nextInt(10)).map(_ => tagAtoms(rnd.nextInt(tagAtoms.size))).mkString)
     bothTags(tagFuzz)
+
+    // the whitespace tokenizer under every shingle/LM/chunk operator:
+    // native scan vs split(trim(text), "\\s+") — leading/trailing empties,
+    // 0x20-only trim, ASCII-only \s, "" -> [""]
+    def bothTok(in: Seq[String]): Unit = {
+      import graft.datapipe.TextStats
+      val got = in.toDF("c")
+        .select(TextStats.tokens(col("c")), TextStats.tokensRegex(col("c")))
+        .collect()
+      in.zip(got).foreach { case (s, r) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"native=${r.getSeq[String](0)} regex=${r.getSeq[String](1)} for ${s.replace("\n", "\\n").replace("\t", "\\t")}")
+      }
+    }
+    bothTok(Seq("", " ", "  ", "a", " a ", "a b", "\ta", "a\t", " \ta b\n ",
+      "a  b", "\u540d \u8bcd", "\n", "\u000b\f\r", "a\u000bb", "  \t  "))
+    val tokAtoms = Seq(" ", "\t", "\n", "\u000b", "\f", "\r", "a", "bc",
+      "\u540d", "")
+    val tokFuzz = (1 to 1000).map(_ =>
+      (0 until rnd.nextInt(10)).map(_ => tokAtoms(rnd.nextInt(tokAtoms.size))).mkString)
+    bothTok(tokFuzz)
   }
 
   test("nell concept split (FromText.kt:11–21)") {
