@@ -65,11 +65,21 @@ object TextExtract {
     concat(extractValues(top, quoteUserRegex), extractValues(top, topicRegex))
   }
 
-  /** F5 — HTML attribute/text pulls (FromScrappyDump.kt:186–191, 202–221). */
-  def titleAttr(c: Column): Column = extractFirst(c, timeFromXml)
+  /** F5 — HTML attribute/text pulls (FromScrappyDump.kt:186–191, 202–221).
+    * Native literal-prefix/lazy-group/literal-suffix scans (LazyBetween)
+    * on the normalize hot path; regex formulations kept as parity oracles. */
+  def titleAttr(c: Column): Column = LazyBetweenExpr(c, "title=\"", "\"")
   def anchorText(c: Column): Column =
+    trim(substring_index(LazyBetweenExpr(c, ">", "</"), " 转赞人数", 1))
+  def nickName(c: Column): Column =
+    trim(LazyBetweenExpr(c, "nick-name=\"", "\" "))
+
+  private[graft] def titleAttrRegex(c: Column): Column =
+    extractFirst(c, timeFromXml)
+  private[graft] def anchorTextRegex(c: Column): Column =
     trim(substring_index(extractFirst(c, timeFromXmlText), " 转赞人数", 1))
-  def nickName(c: Column): Column = trim(extractFirst(c, nicknameRegex))
+  private[graft] def nickNameRegex(c: Column): Column =
+    trim(extractFirst(c, nicknameRegex))
 
   /** F7 — output-format validity `\d{4}-\d{2}-\d{2} \d{2}:\d{2}`
     * (FromScrappyDump.kt:116; MicroBlog.kt:4). */

@@ -170,6 +170,25 @@ class ExtractSpec extends AnyFunSuite {
     val tokFuzz = (1 to 1000).map(_ =>
       (0 until rnd.nextInt(10)).map(_ => tokAtoms(rnd.nextInt(tokAtoms.size))).mkString)
     bothTok(tokFuzz)
+
+    // the three HTML pulls (literal prefix + lazy group + literal suffix)
+    val htmlCases = Seq(
+      "<div class=\"x\"><a title=\"2019-07-01 14:43\">t</a></div>",
+      "title=\"\"", "title=\"a\"", "title=\"a", "title=\"a\nb\"",
+      "x title=\"one\" title=\"two\"", ">a</", "></", ">a<b</", ">\n</x",
+      ">08\u670821\u65e5 22:40 \u8f6c\u8d5e\u4eba\u6570\u8d8510\u4e07;</a>",
+      "nick-name=\"\u52a0\u63aa\" r", "nick-name=\"a\"x", "nick-name=\"a\" ",
+      "", "plain", "title=\"\u540d \u79f0\" tail")
+    both(htmlCases, TE.titleAttr, TE.titleAttrRegex)
+    both(htmlCases, TE.anchorText, TE.anchorTextRegex)
+    both(htmlCases, TE.nickName, TE.nickNameRegex)
+    val htmlAtoms = Seq("title=\"", "\"", ">", "</", "nick-name=\"", "\" ",
+      "a", " ", "\n", "<", "/", "\u540d", "x")
+    val htmlFuzz = (1 to 800).map(_ =>
+      (0 until rnd.nextInt(8)).map(_ => htmlAtoms(rnd.nextInt(htmlAtoms.size))).mkString)
+    both(htmlFuzz, TE.titleAttr, TE.titleAttrRegex)
+    both(htmlFuzz, TE.anchorText, TE.anchorTextRegex)
+    both(htmlFuzz, TE.nickName, TE.nickNameRegex)
   }
 
   test("nell concept split (FromText.kt:11–21)") {
