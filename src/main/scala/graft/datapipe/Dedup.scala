@@ -456,11 +456,16 @@ object Dedup {
     val toks = TextStats.tokens(col(textCol))
     val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
     val idxSeq = sequence(lit(0), nChunks - 1)
-    val chunks = docs.select(col(idCol),
-        posexplode(transform(idxSeq,
-          i => concat_ws(" ",
-            slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
-      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
+    // explode the cheap INDEX sequence and build each chunk string with
+    // codegen'd slice+concat_ws AFTER the Generate — the transform-HOF form
+    // is interpreted and allocated the whole chunk array per row (the
+    // shingleRows discipline)
+    val chunks = docs.select(col(idCol), toks.as("toks"),
+        explode(idxSeq).as("idx"))
+      .select(col(idCol), col("idx"),
+        concat_ws(" ",
+          slice(col("toks"), col("idx") * chunkTokens + 1, lit(chunkTokens)))
+          .as("para"))
     // n_chunks computed narrow from the doc row itself (= the exploded row
     // count by construction) — the doc-keyed side never re-explodes
     val perDoc = docs.select(col(idCol),
@@ -503,11 +508,13 @@ object Dedup {
     val toks = TextStats.tokens(col(textCol))
     val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
     val idxSeq = sequence(lit(0), nChunks - 1)
-    val chunks = docs.select(col(idCol),
-        posexplode(transform(idxSeq,
-          i => concat_ws(" ",
-            slice(toks, i * chunkTokens + 1, lit(chunkTokens))))))
-      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "para")
+    // index explode + post-Generate codegen chunk build (see chunkDedup)
+    val chunks = docs.select(col(idCol), toks.as("toks"),
+        explode(idxSeq).as("idx"))
+      .select(col(idCol), col("idx"),
+        concat_ws(" ",
+          slice(col("toks"), col("idx") * chunkTokens + 1, lit(chunkTokens)))
+          .as("para"))
       .withColumn("h", md5(col("para")))
     val boiler = chunks
       .select(col(idCol), col("h")).distinct()
@@ -722,15 +729,27 @@ object Dedup {
     * measures exactly this). The boundary hash is an md5 prefix, not
     * xxhash64, so the DuckDB oracle reproduces it bit-for-bit.
     *
-    * Scale shape: the whole per-doc chunking runs inside ONE projection (a
-    * higher-order `aggregate` over the token array — no per-word explode,
-    * no per-word shuffle); only (id, chunk_id, md5, n_words) ever reaches
-    * an exchange. The first word always opens chunk 0 (null-sentinel
-    * accumulator), so a leading boundary word does not emit an empty
-    * chunk.
+    * Scale shape: the whole per-doc chunking runs inside ONE projection —
+    * a NATIVE walk (functions/CdcChunks: tokenize, boundary-test, digest
+    * per chunk with a reused thread-local buffer) — no per-word explode,
+    * no per-word shuffle; only (id, chunk_id, md5, n_words) ever reaches
+    * an exchange, and the chunk text never even materializes into the row.
+    * The first word always opens chunk 0, so a leading boundary word does
+    * not emit an empty chunk. The aggregate-HOF formulation (interpreted,
+    * one immutable array copy per chunk per token) is retained below as
+    * the parity oracle.
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-                avgWords: Int = 32): DataFrame = {
+                avgWords: Int = 32): DataFrame =
+    docs
+      .select(col(idCol), posexplode(
+        graft.functions.CdcChunksExpr(col(textCol), avgWords)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col.h").as("h"), col("col.n_words").as("n_words"))
+
+  private[graft] def cdcChunksHof(docs: DataFrame, idCol: String,
+                                  textCol: String,
+                                  avgWords: Int = 32): DataFrame = {
     def boundary(w: Column) =
       (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % avgWords) === 0
     val zero = struct(

@@ -106,7 +106,10 @@ object LmScore {
     * corpus pass; the corpus is tokenized exactly once and the only wide
     * exchange is the two-phase (w1, w2) count. */
   def trainBigram(ref: DataFrame, textCol: String, minCount: Long = 3L): DataFrame = {
-    val toksF = filter(TextStats.tokens(col(textCol)), w => length(w) > 0)
+    // array_remove, not the filter HOF: the HOF is interpreted (a lambda
+    // dispatch per element per row); removing "" is the same non-empty
+    // filter as codegen
+    val toksF = array_remove(TextStats.tokens(col(textCol)), "")
     val c2 = ref
       .select(toksF.as("tk"))
       .where(size(col("tk")) >= 2)
@@ -134,7 +137,7 @@ object LmScore {
                         idCol: String, textCol: String,
                         lambda: Double = 0.75,
                         floorProb: Double = FloorProb): DataFrame = {
-    val toksF = filter(TextStats.tokens(col(textCol)), w => length(w) > 0)
+    val toksF = array_remove(TextStats.tokens(col(textCol)), "") // not the interpreted filter HOF
     val base = docs
       .select(col(idCol).as("id"), toksF.as("tk"))
       .where(size(col("tk")) > 0)

@@ -261,10 +261,14 @@ object TextStats {
   def topBigramFraction(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    val bigrams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    // index explode + post-Generate codegen bigram build — the transform
+    // HOF is interpreted and allocated the whole bigram array per row
     docs.filter(size(tokens(col(textCol))) >= 2)
-      .select(col(idCol), size(toks).as("n"), explode(bigrams).as("b"))
+      .select(col(idCol), size(toks).as("n"), toks.as("tk"),
+        explode(sequence(lit(1), size(toks) - 1)).as("i"))
+      .select(col(idCol), col("n"),
+        concat(element_at(col("tk"), col("i")), lit(" "),
+          element_at(col("tk"), col("i") + 1)).as("b"))
       .groupBy(idCol, "n", "b").agg(count(lit(1)).as("cnt"))
       .groupBy(idCol)
       .agg(round(max(col("cnt")) * lit(2.0) / max(col("n")), 4)

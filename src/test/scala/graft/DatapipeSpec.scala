@@ -967,6 +967,20 @@ class DatapipeSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("native CDC walk ≡ aggregate-HOF formulation (fuzz parity)") {
+    val rnd = new scala.util.Random(7)
+    val atoms = Seq("w1", "w2", "alpha", "beta", "名词", " ", "  ", "\t",
+      "x", "") // whitespace atoms exercise empty-token handling
+    val docs = (1 to 200).map(i => (i.toLong,
+      (0 until rnd.nextInt(60)).map(_ => atoms(rnd.nextInt(atoms.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val a = Dedup.cdcChunks(docs, "doc_id", "text", avgWords = 8)
+      .as[(Long, Long, String, Long)].collect().sorted.toSeq
+    val b = Dedup.cdcChunksHof(docs, "doc_id", "text", avgWords = 8)
+      .as[(Long, Long, String, Long)].collect().sorted.toSeq
+    assert(a === b)
+  }
+
   test("CDC chunks are shift-resistant where the fixed grid is not") {
     val words = (0 until 220).map(i => s"w$i")
     val base = words.mkString(" ")
