@@ -867,7 +867,8 @@ object SparkEntry {
       // by-construction, not iteration-count-dependent)
       val trained = Similarity.trainCentroidsAudited(
         embs, "vec_id", "v", k = 16, iters = 3)
-      val cent = trained.centroids.localCheckpoint()
+      // trained.centroids is a k-row LocalRelation — no checkpoint needed
+      val cent = trained.centroids
       val exact = Similarity.bruteForceTopK(qs, embs, "vec_id", "v", 10)
       val rSeed = Similarity.recallAtK(
         Similarity.ivfTopK(qs, embs, "vec_id", "v", 10, nCentroids = 16,

@@ -93,22 +93,51 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment — the IVF build pass. Input `corpus` is
-    * (id, v); `cent` is the SMALL (cid, cv) dimension (broadcast). Scored
-    * once per (vector, centroid); the argmax is a TWO-PHASE hash aggregate
-    * (`max_by` over a (csim, -cid) struct — map-side combined, no shuffle
-    * sort), NOT a row_number window: the window formulation shuffled and
-    * sorted corpus × nCentroids rows into single-vector sort groups, a
-    * plan that dies at 10^9 vectors. Tie-break identical to the window it
-    * replaces: max rounded cosine, then MIN cid. */
+    * (id, v); `cent` is the SMALL (cid, cv) dimension — driver-bounded by
+    * contract (the previous formulation broadcast it, which is the same
+    * driver materialization). The centroid table is collected once and
+    * embedded as a plan literal, and the argmax runs as ONE fused native
+    * loop per corpus row ([[graft.functions.BestCell]]) — a pure
+    * PROJECTION: zero corpus-side Exchange, vs the previous cross-join +
+    * two-phase `max_by` aggregate whose final exchange still carried one
+    * (id, v, cid, csim) struct per corpus vector. Tie-break identical:
+    * max rounded cosine (nan-safe ordering), then MIN cid. */
   def assignCells(corpus: DataFrame, cent: DataFrame): DataFrame =
-    corpus.join(broadcast(cent), lit(true))
-      .select(col("id"), col("v"), col("cid"),
-        round(Dedup.cosine(col("v"), col("cv")), 6).as("csim"))
-      .groupBy("id")
-      .agg(max_by(struct(col("v"), col("cid"), col("csim")),
-        struct(col("csim"), (-col("cid")).as("nc"))).as("best"))
-      .select(col("id"), col("best.v").as("v"), col("best.cid").as("cid"),
-        col("best.csim").as("csim"))
+    assignCellsLocal(corpus, centRowsOf(cent))
+
+  /** Collect the (cid, cv) dimension — bounded by the centroid count k by
+    * contract, exactly what `broadcast(cent)` materialized driver-side
+    * before. */
+  private def centRowsOf(cent: DataFrame): Array[(Long, Array[Double])] =
+    cent.select(col("cid").cast("long"),
+        col("cv").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+      .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** The centroid table as one array<struct<cid, cv>> plan literal. */
+  private def centsLiteral(rows: Seq[(Long, Array[Double])]): Column = {
+    import org.apache.spark.sql.types._
+    val schema = ArrayType(StructType(Seq(
+      StructField("cid", LongType), StructField("cv", ArrayType(DoubleType)))))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        rows.map { case (cid, cv) =>
+          org.apache.spark.sql.Row(cid, cv.toSeq) }, schema))
+  }
+
+  /** [[assignCells]] over driver-resident centroid rows — the seam the
+    * k-means trainer uses so each iteration's assignment is a plain
+    * projection over the checkpointed corpus with no per-iteration
+    * DataFrame lineage at all. */
+  private[datapipe] def assignCellsLocal(
+      corpus: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame =
+    corpus.select(col("id"), col("v"),
+        graft.functions.BestCell(col("v"), centsLiteral(cents.toSeq)).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("id"), col("v"), col("b.cid").as("cid"),
+        col("b.csim").as("csim"))
 
   /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
     * via [[assignCells]] (broadcast centroids, two-phase argmax — the
@@ -185,42 +214,58 @@ object Similarity {
 
   def trainCentroidsAudited(corpus: DataFrame, idCol: String, vecCol: String,
                             k: Int, iters: Int = 5): TrainedIndex = {
+    val spark = corpus.sparkSession
     val data = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint()
-    var cent = data.orderBy("id").limit(k)
-      // literal partition key: k rows post-limit, no WindowExec warning
-      .select((row_number().over(Window.partitionBy(lit(0)).orderBy("id")) - 1).cast("long").as("cid"),
-        col("v").as("cv"))
-      .localCheckpoint()
+    // seed: the k smallest ids, numbered 0..k-1. Centroids live DRIVER-SIDE
+    // for the whole loop — they are k rows by definition (the old
+    // formulation broadcast them every iteration, the identical driver
+    // materialization) — so each refit is ONE job (a k-row collect of the
+    // two-phase per-dimension mean aggregate) and each assignment is a pure
+    // BestCell projection over the checkpointed corpus: no per-iteration
+    // localCheckpoint, no posexplode fan-out exchange of N×dims rows, no
+    // window. takeOrdered returns rows already sorted by the orderBy key.
+    val seed: Array[Array[Double]] = data.orderBy("id").limit(k)
+      .select(col("v").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    def cellsOf(c: Array[Array[Double]]): DataFrame =
+      assignCellsLocal(data,
+        c.zipWithIndex.map { case (cv, i) => (i.toLong, cv) })
     // exact, order-independent QE: csim is already rounded to 6 decimals in
     // assignCells, so the decimal(28,6) sum is lossless and deterministic.
     // The per-iterate QE aggregates are DEFERRED and unioned into ONE
-    // collect at the end (each reads its iterate's checkpointed cells; the
-    // final layout's assignment runs lazily inside the same job) — the
-    // training loop itself pays no per-iteration driver round trip.
+    // collect at the end (each re-projects the checkpointed corpus — a
+    // cheap native loop, not a recomputation of any lineage) — the
+    // training loop itself pays exactly one job per iteration (the refit).
     def qeAgg(cells: DataFrame, i: Int): DataFrame =
       cells.agg(lit(i).as("i"),
         sum((lit(1.0) - col("csim")).cast("decimal(28,6)")).as("qe"))
-    val cents = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val cents = scala.collection.mutable.ArrayBuffer[Array[Array[Double]]]()
     val qeAggs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var cur = seed
+    val dims = if (cur.nonEmpty) cur(0).length else 0
     (0 until iters).foreach { i =>
-      val cells = assignCells(data, cent).localCheckpoint()
-      cents += cent
+      val cells = cellsOf(cur)
+      cents += cur
       qeAggs += qeAgg(cells, i) // QE of the CURRENT layout, same assignment
-      val nrm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
-      val means = cells
-        .select(col("cid"),
-          posexplode(transform(col("v"), x => x / greatest(nrm, lit(1e-12)))))
-        .groupBy("cid", "pos").agg(avg("col").as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("nv"))
-      cent = cent.join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("nv"), col("cv")).as("cv"))
-        .localCheckpoint()
+      if (dims > 0) {
+        // spherical refit: normalize natively, then ONE two-phase hash
+        // aggregate (cid → per-dimension means) collected to k tiny rows;
+        // a cell that loses all members keeps its previous centroid
+        val avgs = (0 until dims).map(d =>
+          avg(element_at(col("nv"), d + 1)).as(s"m$d"))
+        val means = cells
+          .select(col("cid"), graft.functions.VecNormalize(col("v")).as("nv"))
+          .groupBy("cid").agg(avgs.head, avgs.tail: _*)
+          .collect()
+          .map(r => r.getLong(0) ->
+            Array.tabulate(dims)(d => r.getDouble(d + 1))).toMap
+        cur = Array.tabulate(cur.length)(c => means.getOrElse(c.toLong, cur(c)))
+      }
     }
-    cents += cent
-    qeAggs += qeAgg(assignCells(data, cent), iters)
+    cents += cur
+    qeAggs += qeAgg(cellsOf(cur), iters)
     val qes = qeAggs.reduce(_ unionAll _).collect()
       .map(r => (r.getInt(0), r.getDecimal(1))).sortBy(_._1).map(_._2)
     val seedQe = qes.head // iteration 0 IS the seed layout (iters = 0 too)
@@ -228,7 +273,10 @@ object Similarity {
     var bestIdx = 0
     qes.indices.foreach(i =>
       if (qes(i).compareTo(qes(bestIdx)) < 0) bestIdx = i)
-    TrainedIndex(cents(bestIdx), seedQe, qes(bestIdx))
+    import spark.implicits._
+    val bestDf = cents(bestIdx).zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv.toSeq) }.toSeq.toDF("cid", "cv")
+    TrainedIndex(bestDf, seedQe, qes(bestIdx))
   }
 
   /** Mean quantization error of a centroid layout: avg(1 − cos(v, nearest

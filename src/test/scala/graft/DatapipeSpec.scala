@@ -365,6 +365,64 @@ class DatapipeSpec extends AnyFunSuite {
     }
   }
 
+  test("BestCell.round6 ≡ Spark round(_, 6), bit for bit") {
+    val r = new java.util.Random(29)
+    val xs = Seq(0.0, -0.0, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 0.1234565, -0.1234565, 1.0000005, 0.9999995,
+      0.12345649999999, -1.0, 1.0) ++
+      Seq.fill(5000)(r.nextDouble() * 2 - 1) ++
+      Seq.fill(1000)(r.nextGaussian() * 1e6) ++
+      Seq.fill(1000)(r.nextGaussian() * 1e-6)
+    xs.toDF("x").select(col("x"), round(col("x"), 6).as("r"))
+      .collect().foreach { row =>
+        val x = row.getDouble(0)
+        val expect = row.getDouble(1)
+        val got = graft.functions.BestCell.round6(x)
+        assert(java.lang.Double.doubleToLongBits(expect) ==
+          java.lang.Double.doubleToLongBits(got),
+          s"round6($x): native $got vs Spark $expect")
+      }
+  }
+
+  test("native best-cell assignment ≡ the max_by aggregate formulation") {
+    val r = new java.util.Random(23)
+    val embs = (0L until 200L).map(i => (i, Seq.fill(12)(r.nextGaussian())))
+      .toDF("vec_id", "v")
+    // duplicated centroid vectors under HIGHER cids force exact rounded
+    // ties: the argmax must fall back to the min cid exactly as the
+    // (csim, -cid) struct ordering did
+    val cent0 = embs.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cent = cent0.unionAll(cent0.filter(col("cid") < 3)
+      .select((col("cid") + 100).as("cid"), col("cv")))
+    val corpus = embs.select(col("vec_id").as("id"), col("v"))
+    val oldForm = corpus.join(broadcast(cent), lit(true))
+      .select(col("id"), col("v"), col("cid"),
+        round(Dedup.cosine(col("v"), col("cv")), 6).as("csim"))
+      .groupBy("id")
+      .agg(max_by(struct(col("v"), col("cid"), col("csim")),
+        struct(col("csim"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("id"), col("best.cid").as("cid"), col("best.csim").as("csim"))
+    val neu = Similarity.assignCells(corpus, cent).select("id", "cid", "csim")
+    assert(neu.exceptAll(oldForm).count() === 0 &&
+      oldForm.exceptAll(neu).count() === 0,
+      "best-cell projection diverged from the max_by aggregate")
+  }
+
+  test("native vec-normalize ≡ the HOF chain, bit for bit") {
+    val r = new java.util.Random(31)
+    val embs = ((0L until 200L).map { i =>
+      (i, Seq.fill(10)(r.nextGaussian() * math.pow(10, (i % 7).toInt - 3)))
+    } :+ (200L, Seq.empty[Double]) :+ (201L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "v")
+    val nrm = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    val both = embs.select(
+      graft.functions.VecNormalize(col("v")).as("native"),
+      transform(col("v"), x => x / greatest(nrm, lit(1e-12))).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() === 0,
+      "vec-normalize divergence vs the HOF chain")
+  }
+
   test("near-dup dense-bucket guard bounds the pair expansion") {
     // 400 copies of one direction land in ONE sign bucket — the quadratic
     // hazard class. With maxBucket below the clump the bucket is dropped

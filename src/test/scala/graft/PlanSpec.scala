@@ -57,17 +57,27 @@ class PlanSpec extends AnyFunSuite {
       s"pair expansion is not array-bounded:\n$p")
   }
 
-  test("IVF cell assignment is a two-phase hash aggregate, not a window sort") {
-    val embs = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)))
-      .toDF("vec_id", "v")
+  test("IVF cell assignment is a pure projection — no window, no exchange") {
+    // parquet-backed corpus: a literal local DF constant-folds the whole
+    // assignment to a LocalTableScan (itself proof of the pure-projection
+    // shape, but it hides the operator under test)
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
     val corpus = embs.select(col("vec_id").as("id"), col("v"))
-    val cent = embs.limit(2).select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cent = embs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
     val p = plan(graft.datapipe.Similarity.assignCells(corpus, cent))
     assert(!p.contains("Window"),
       s"corpus-side argmax regressed to a row_number window:\n$p")
-    assert(p.contains("max_by") || p.contains("HashAggregate") ||
-      p.contains("ObjectHashAggregate"),
-      s"no aggregate argmax in the assignment plan:\n$p")
+    // round-7 shape: the centroid table is a plan literal and the argmax is
+    // the native best_cell loop — the corpus is never exchanged at all (the
+    // previous max_by aggregate still shuffled one struct per vector)
+    assert(!p.contains("Exchange"),
+      s"cell assignment shuffles the corpus:\n$p")
+    assert(p.contains("best_cell"),
+      s"native best_cell argmax missing from the assignment plan:\n$p")
   }
 
   test("native sign bucket stays inside whole-stage codegen") {
