@@ -35,6 +35,8 @@ object KgScale {
       // (superlinear CPU). A smaller advisory keeps the per-task map O(cache).
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "16m"))
+      .config("spark.locality.wait",
+        sys.env.getOrElse("SPARK_GRAFT_LOCALITY_WAIT", "3s"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -51,6 +51,20 @@ object ShardProbe {
               expr(s"seq_last div 4"))))
           .repartition(col("shard_id"))
           .write.mode("overwrite").parquet(s"$out/flat"))
+      // fewer tasks, same one-file-per-shard layout: hash all 265 shards
+      // over `cores` reducers — each task writes ~8 whole partition dirs
+      // sequentially; tests whether the wall is per-TASK overhead (265
+      // scheduling/committer/commit units) or per-DIR writer cost
+      def writeTasks(n: Int, tag: String): Unit = time(tag)(
+        idx.withColumn("shard_id",
+            explode(sequence(expr(s"seq_first div $seqsPerShard"),
+              expr(s"seq_last div $seqsPerShard"))))
+          .repartition(n, col("shard_id"))
+          .write.mode("overwrite").partitionBy("shard_id")
+          .parquet(s"$out/shards-t$n"))
+      writeTasks(32, "writeT32")
+      writeTasks(64, "writeT64")
+      writeTasks(128, "writeT128")
       time("write")(
         idx.withColumn("shard_id",
             explode(sequence(expr(s"seq_first div $seqsPerShard"),
