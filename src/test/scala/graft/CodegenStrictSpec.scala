@@ -98,4 +98,23 @@ class CodegenStrictSpec extends AnyFunSuite {
       Base62Expr.decodeMid(Base62Expr.encodeMid(col("mid"))).as("rt")).collect()(0)
     assert(r.getString(0) === "4419234098953795")
   }
+
+  test("BestCell + VecNormalize compile under strict codegen") {
+    val centType = ArrayType(StructType(Seq(
+      StructField("cid", LongType),
+      StructField("cv", ArrayType(DoubleType)))))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(Seq(3.0, 4.0), Seq(Row(0L, Seq(1.0, 0.0)), Row(1L, Seq(0.0, 1.0))))),
+      StructType(Seq(
+        StructField("v", ArrayType(DoubleType)),
+        StructField("cents", centType))))
+    val r = df.select(
+      graft.functions.BestCell(col("v"), col("cents")).as("b"),
+      graft.functions.VecNormalize(col("v")).as("nv")).collect()(0)
+    val b = r.getStruct(0)
+    assert(b.getLong(0) === 1L) // cos vs (0,1) = 0.8 > 0.6
+    assert(math.abs(b.getDouble(1) - 0.8) < 1e-9)
+    val nv = r.getSeq[Double](1)
+    assert(math.abs(nv(0) - 0.6) < 1e-12 && math.abs(nv(1) - 0.8) < 1e-12)
+  }
 }
