@@ -413,11 +413,24 @@ object Dedup {
   // ---- n-gram Jaccard ----------------------------------------------------------
 
   /** Exact Jaccard over distinct token sets for a candidate pair set —
-    * the verify step after LSH blocking. `pairs` = (id1, id2). */
+    * the verify step after LSH blocking. `pairs` = (id1, id2).
+    *
+    * The token side is semi-joined down to the ids that actually appear
+    * in a candidate pair BEFORE tokenization: the candidate set is orders
+    * of magnitude smaller than the corpus (that is the whole point of the
+    * blocking step), so tokenizing every document to verify a few
+    * thousand pairs re-reads the lake for nothing — the semi-join prunes
+    * the tokenize/array_distinct work to candidate members only (the
+    * pairs frame is checkpointed by every caller, so deriving the id set
+    * from it is a cheap local re-read, not a recomputation). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, threshold: Double): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      array_distinct(TextStats.tokens(col(textCol))).as("toks"))
+    val ids = pairs.select(col("id1").as("id"))
+      .unionAll(pairs.select(col("id2").as("id"))).distinct()
+    val toks = docs
+      .join(ids, docs(idCol) === ids("id"), "left_semi")
+      .select(col(idCol).as("id"),
+        array_distinct(TextStats.tokens(col(textCol))).as("toks"))
     pairs
       .join(toks.toDF("id1", "toks1"), Seq("id1"))
       .join(toks.toDF("id2", "toks2"), Seq("id2"))
